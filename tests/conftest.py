@@ -1,0 +1,26 @@
+"""Test config: run everything on CPU with 8 virtual devices so sharding
+tests work without TPU hardware (SURVEY.md §4 test strategy)."""
+
+import os
+
+# Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="session")
+def reference_data():
+    if not os.path.isdir(REFERENCE_DATA):
+        pytest.skip("reference data not available")
+    return REFERENCE_DATA
