@@ -1,0 +1,208 @@
+"""Multiresolution hash/dense/tiled grid encoding (the heart of instant-ngp).
+
+TPU-native re-implementation of tcnn's GridEncoding, which the reference
+uses for every testbed (created via `create_encoding`; params auto-derived
+at src/testbed.cu:3679-3723; coarse-to-fine masking via `set_max_level_gpu`,
+src/testbed_nerf.cu:2796-2806).
+
+Semantics kept from tcnn's encodings/grid.h:
+- L levels; level l has scale  s_l = N_min * 2^(l * log2(b)) - 1  and
+  resolution  r_l = ceil(s_l) + 1.
+- A point x in [0,1]^d maps to  pos = x * s_l + 0.5; the 2^d surrounding
+  corners are d-linearly interpolated.
+- Per-level table size = min(r_l^d, 2^log2_hashmap_size), 8-aligned.
+  Dense addressing when the level fits, else spatial hash
+  (XOR of coords times primes {1, 2654435761, 805459861}).
+- Tiled grids wrap coordinates; dense grids clamp.
+- `max_level` masks levels above the given index to zero features (and
+  hence zero gradient) for coarse-to-fine schedules.
+
+The pure-JAX implementation below is the semantic reference; the Pallas
+TPU kernel in ops/pallas/grid_kernels.py implements the same contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encodings import Encoding
+
+_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+
+
+def grid_scale(level: int, log2_per_level_scale: float, base_resolution: int) -> float:
+    return float(np.exp2(level * log2_per_level_scale) * base_resolution - 1.0)
+
+
+def grid_resolution(scale: float) -> int:
+    return int(math.ceil(scale)) + 1
+
+
+@dataclasses.dataclass
+class GridEncoding(Encoding):
+    """Functional grid encoding. Parameters are one flat fp32 vector."""
+
+    n_dims: int
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    per_level_scale: float = 2.0
+    grid_type: str = "Hash"           # Hash | Dense | Tiled
+    interpolation: str = "Linear"     # Linear | Smoothstep | Nearest
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        assert self.n_dims in (2, 3), "grid encoding supports 2D and 3D inputs"
+        self.n_output_dims = self.n_levels * self.n_features_per_level
+        log2_pls = math.log2(self.per_level_scale)
+        hashmap_size = 1 << self.log2_hashmap_size
+
+        offsets, sizes, scales, resolutions, hashed = [], [], [], [], []
+        offset = 0
+        for lvl in range(self.n_levels):
+            s = grid_scale(lvl, log2_pls, self.base_resolution)
+            r = grid_resolution(s)
+            dense_size = r ** self.n_dims
+            # 8-aligned per-level size, capped at the hash table size (tcnn)
+            if self.grid_type == "Dense":
+                size = dense_size
+                use_hash = False
+            elif self.grid_type == "Tiled":
+                size = min(dense_size, hashmap_size)
+                use_hash = False
+            else:  # Hash
+                size = min(dense_size, hashmap_size)
+                use_hash = dense_size > hashmap_size
+            size = (size + 7) // 8 * 8
+            offsets.append(offset)
+            sizes.append(size)
+            scales.append(s)
+            resolutions.append(r)
+            hashed.append(use_hash)
+            offset += size
+
+        self._offsets = np.asarray(offsets, np.int64)
+        self._sizes = np.asarray(sizes, np.int64)
+        self._scales = np.asarray(scales, np.float64)
+        self._resolutions = np.asarray(resolutions, np.int64)
+        self._hashed = np.asarray(hashed, bool)
+        self._total_params = int(offset) * self.n_features_per_level
+
+        # corner offsets in {0,1}^d, shape (2^d, d)
+        self._corners = np.stack(np.meshgrid(
+            *([np.arange(2)] * self.n_dims), indexing="ij"),
+            axis=-1).reshape(-1, self.n_dims).astype(np.int32)
+
+    @classmethod
+    def from_config(cls, n_dims: int, config: Dict[str, Any], dtype=jnp.float32
+                    ) -> "GridEncoding":
+        otype = config.get("otype", "HashGrid")
+        gtype = {"HashGrid": "Hash", "DenseGrid": "Dense", "TiledGrid": "Tiled",
+                 "Grid": config.get("type", "Hash")}[otype]
+        n_levels = config.get("n_levels", 16)
+        base_res = config.get("base_resolution", 16)
+        if "per_level_scale" in config:
+            pls = config["per_level_scale"]
+        elif "desired_resolution" in config and n_levels > 1:
+            pls = math.exp(math.log(config["desired_resolution"] / base_res)
+                           / (n_levels - 1))
+        else:
+            pls = 2.0
+        return cls(
+            n_dims=n_dims,
+            n_levels=n_levels,
+            n_features_per_level=config.get("n_features_per_level", 2),
+            log2_hashmap_size=config.get("log2_hashmap_size", 19),
+            base_resolution=base_res,
+            per_level_scale=pls,
+            grid_type=gtype,
+            interpolation=config.get("interpolation", "Linear"),
+            dtype=dtype,
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def n_params(self) -> int:
+        return self._total_params
+
+    def init(self, key: jax.Array) -> jax.Array:
+        # tcnn grid default init: U(-1e-4, 1e-4)
+        return jax.random.uniform(key, (self._total_params,), jnp.float32,
+                                  -1e-4, 1e-4)
+
+    def level_params(self, params: jax.Array, level: int) -> jax.Array:
+        """The (size_l, F) parameter slice of one level."""
+        f = self.n_features_per_level
+        start = int(self._offsets[level]) * f
+        size = int(self._sizes[level])
+        return params[start:start + size * f].reshape(size, f)
+
+    def _level_indices(self, level: int, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Corner flat indices (N, 2^d) within the level and lerp weights (N, 2^d)."""
+        s = jnp.asarray(self._scales[level], x.dtype)
+        res = int(self._resolutions[level])
+        pos = x * s + 0.5
+        pos0 = jnp.floor(pos)
+        w = pos - pos0
+        if self.interpolation == "Smoothstep":
+            w = w * w * (3.0 - 2.0 * w)
+        elif self.interpolation == "Nearest":
+            w = jnp.round(w)
+        pos0 = pos0.astype(jnp.int32)
+
+        corners = jnp.asarray(self._corners)                     # (C, d)
+        coords = pos0[:, None, :] + corners[None, :, :]          # (N, C, d)
+
+        if self._hashed[level]:
+            primes = jnp.asarray(_PRIMES[:self.n_dims])
+            h = (coords.astype(jnp.uint32) * primes[None, None, :])
+            idx = h[..., 0]
+            for dim in range(1, self.n_dims):
+                idx = idx ^ h[..., dim]
+            idx = (idx % jnp.uint32(int(self._sizes[level]))).astype(jnp.int32)
+        else:
+            if self.grid_type == "Tiled":
+                coords = jnp.remainder(coords, res)
+            else:
+                coords = jnp.clip(coords, 0, res - 1)
+            idx = coords[..., 0]
+            stride = 1
+            for dim in range(1, self.n_dims):
+                stride *= res
+                idx = idx + coords[..., dim] * stride
+
+        cw = jnp.where(corners[None, :, :] == 1, w[:, None, :], 1.0 - w[:, None, :])
+        weights = jnp.prod(cw, axis=-1)                          # (N, C)
+        return idx, weights
+
+    def apply(self, params: jax.Array, x: jax.Array,
+              max_level: Optional[jax.Array] = None, **kwargs) -> jax.Array:
+        """Encode x (..., d) in [0,1]^d -> (..., L*F) features.
+
+        max_level: optional scalar; levels with index > max_level produce
+        zeros (reference set_max_level_gpu coarse-to-fine masking).
+        """
+        lead = x.shape[:-1]
+        xf = x.reshape(-1, self.n_dims).astype(jnp.float32)
+        n = xf.shape[0]
+        f = self.n_features_per_level
+
+        outs = []
+        for lvl in range(self.n_levels):
+            idx, weights = self._level_indices(lvl, xf)
+            table = self.level_params(params, lvl)               # (size, F)
+            feats = table[idx]                                   # (N, C, F)
+            out = jnp.sum(feats * weights[..., None], axis=1)    # (N, F)
+            if max_level is not None:
+                out = out * (jnp.asarray(max_level) >= lvl).astype(out.dtype)
+            outs.append(out)
+        result = jnp.concatenate(outs, axis=-1).astype(self.dtype)
+        return result.reshape(*lead, self.n_output_dims)

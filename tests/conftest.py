@@ -1,16 +1,24 @@
 """Test config: run everything on CPU with 8 virtual devices so sharding
-tests work without TPU hardware (SURVEY.md §4 test strategy)."""
+tests work without TPU hardware (SURVEY.md §4 test strategy).
+
+Note: this environment force-sets JAX_PLATFORMS=axon (tunneled TPU) via a
+site hook, so the env var alone doesn't stick — we must also update
+jax.config before any backend is initialized. Running tests on the tunnel
+would make every eager dispatch a network round-trip.
+"""
 
 import os
+import sys
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-import sys
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

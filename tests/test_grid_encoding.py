@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instant_ngp_tpu.ops.grid_encoding import GridEncoding, grid_resolution, grid_scale
+
+
+def small_hash(n_dims=3, **kw):
+    defaults = dict(n_levels=4, n_features_per_level=2, log2_hashmap_size=8,
+                    base_resolution=4, per_level_scale=2.0, grid_type="Hash")
+    defaults.update(kw)
+    return GridEncoding(n_dims, **defaults)
+
+
+def test_level_layout():
+    enc = small_hash()
+    # level 0: scale 3, res 4 -> 64 dense entries (< 256 hashmap) -> dense
+    assert enc._resolutions[0] == 4 and not enc._hashed[0]
+    assert enc._sizes[0] == 64
+    # level 3: scale 31, res 32 -> 32768 > 256 -> hashed, capped
+    assert enc._hashed[3] and enc._sizes[3] == 256
+    assert enc.n_params == enc._sizes.sum() * 2
+    assert enc.n_output_dims == 8
+
+
+def test_dense_trilinear_exact():
+    """With a dense grid whose features are a linear ramp of the vertex
+    coordinates, d-linear interpolation must reproduce the ramp exactly."""
+    enc = GridEncoding(3, n_levels=1, n_features_per_level=1,
+                       log2_hashmap_size=16, base_resolution=8,
+                       per_level_scale=2.0, grid_type="Dense")
+    res = int(enc._resolutions[0])
+    scale = float(enc._scales[0])
+    coords = np.stack(np.meshgrid(*([np.arange(res)] * 3), indexing="ij"),
+                      -1).reshape(-1, 3)
+    # vertex at integer grid position g corresponds to... linear fn of g
+    table = (coords @ np.array([1.0, 10.0, 100.0]))[:, None].astype(np.float32)
+    # dense index = x + y*res + z*res^2 -> our coords must match that layout
+    flat = np.zeros((enc.n_params, 1), np.float32)
+    idx = coords[:, 0] + coords[:, 1] * res + coords[:, 2] * res * res
+    flat[idx] = table
+    params = jnp.asarray(flat.ravel())
+
+    rng = np.random.default_rng(0)
+    # keep pos = x*scale + 0.5 at least one cell away from the clamped
+    # boundary so corner indices never clamp
+    x = rng.uniform(0.1, 0.85, (64, 3)).astype(np.float32)
+    out = np.asarray(enc.apply(params, jnp.asarray(x)))
+    # pos = x*scale + 0.5 -> expected value = linear fn of pos
+    pos = x * scale + 0.5
+    expected = pos @ np.array([1.0, 10.0, 100.0])
+    np.testing.assert_allclose(out[:, 0], expected, rtol=1e-4)
+
+
+def test_hash_encoding_gradient_matches_numeric():
+    enc = small_hash()
+    key = jax.random.PRNGKey(0)
+    params = enc.init(key)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3))
+
+    def f(p):
+        return jnp.sum(enc.apply(p, x) ** 2)
+
+    g = jax.grad(f)(params)
+    assert g.shape == params.shape
+    # numeric check on a few touched entries
+    touched = np.nonzero(np.asarray(g))[0][:5]
+    eps = 1e-4
+    for i in touched:
+        pp = params.at[i].add(eps)
+        pm = params.at[i].add(-eps)
+        num = (f(pp) - f(pm)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g)[i], num, rtol=1e-2, atol=1e-6)
+
+
+def test_max_level_masking():
+    enc = small_hash()
+    params = enc.init(jax.random.PRNGKey(0)) + 1.0  # ensure nonzero feats
+    x = jnp.full((4, 3), 0.3)
+    out = np.asarray(enc.apply(params, x, max_level=1))
+    F = enc.n_features_per_level
+    assert np.abs(out[:, :2 * F]).min() > 0
+    np.testing.assert_array_equal(out[:, 2 * F:], 0.0)
+
+
+def test_tiled_wraps():
+    enc = GridEncoding(2, n_levels=1, n_features_per_level=1,
+                       log2_hashmap_size=20, base_resolution=8,
+                       grid_type="Tiled")
+    params = enc.init(jax.random.PRNGKey(2))
+    # x slightly outside [0,1] wraps instead of reading out of bounds
+    out = enc.apply(params, jnp.array([[1.05, -0.05]]))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_2d_grid_image_config():
+    """configs/image/base.json encoding."""
+    enc = GridEncoding.from_config(2, {
+        "otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
+        "log2_hashmap_size": 15, "base_resolution": 16})
+    assert enc.n_output_dims == 32
+    params = enc.init(jax.random.PRNGKey(0))
+    out = enc.apply(params, jax.random.uniform(jax.random.PRNGKey(1), (8, 2)))
+    assert out.shape == (8, 32)
+
+
+def test_desired_resolution_derivation():
+    """Reference auto-derivation (src/testbed.cu:3679-3723): per-level scale
+    from desired finest resolution."""
+    enc = GridEncoding.from_config(3, {
+        "otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
+        "log2_hashmap_size": 19, "base_resolution": 16,
+        "desired_resolution": 2048})
+    b = enc.per_level_scale
+    np.testing.assert_allclose(16 * b ** 15, 2048, rtol=1e-6)
