@@ -55,7 +55,8 @@ def lens_mode_id(name: str) -> int:
 
 def opencv_lens_distortion_delta(params: jax.Array, u: jax.Array,
                                  v: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    k1, k2, p1, p2 = params[0], params[1], params[2], params[3]
+    k1, k2, p1, p2 = (params[..., 0], params[..., 1], params[..., 2],
+                      params[..., 3])
     u2, v2, uv = u * u, v * v, u * v
     r2 = u2 + v2
     radial = k1 * r2 + k2 * r2 * r2
@@ -67,7 +68,8 @@ def opencv_lens_distortion_delta(params: jax.Array, u: jax.Array,
 def opencv_fisheye_lens_distortion_delta(params: jax.Array, u: jax.Array,
                                          v: jax.Array
                                          ) -> Tuple[jax.Array, jax.Array]:
-    k1, k2, k3, k4 = params[0], params[1], params[2], params[3]
+    k1, k2, k3, k4 = (params[..., 0], params[..., 1], params[..., 2],
+                      params[..., 3])
     r = jnp.sqrt(u * u + v * v)
     safe_r = jnp.maximum(r, 1e-12)
     theta = jnp.arctan(safe_r)
@@ -118,11 +120,11 @@ def iterative_lens_undistortion(params: jax.Array, u: jax.Array,
 def f_theta_undistortion(uv: jax.Array, params: jax.Array) -> jax.Array:
     """(..., 2) uv (already screen-center-relative) -> (..., 3) dir; zero
     vector marks invalid."""
-    xpix = uv[..., 0] * params[5]
-    ypix = uv[..., 1] * params[6]
+    xpix = uv[..., 0] * params[..., 5]
+    ypix = uv[..., 1] * params[..., 6]
     norm = jnp.sqrt(xpix * xpix + ypix * ypix)
-    alpha = params[0] + norm * (params[1] + norm * (
-        params[2] + norm * (params[3] + norm * params[4])))
+    alpha = params[..., 0] + norm * (params[..., 1] + norm * (
+        params[..., 2] + norm * (params[..., 3] + norm * params[..., 4])))
     sin_a, cos_a = jnp.sin(alpha), jnp.cos(alpha)
     safe_norm = jnp.maximum(norm, 1e-12)
     ok = (cos_a > np.finfo(np.float32).tiny) & (norm > 0)

@@ -198,10 +198,14 @@ def calc_dt(t: jax.Array, cone_angle) -> jax.Array:
 
 def distance_to_next_voxel(pos: jax.Array, dir: jax.Array, idir: jax.Array,
                            res: jax.Array) -> jax.Array:
-    """DDA distance to the next voxel border at grid resolution res."""
+    """DDA distance to the next voxel border at grid resolution res.
+
+    Axes with ~zero direction never cross a border: their axis distance is
+    +inf (the CUDA version gets this via 0*inf=NaN + fminf NaN semantics)."""
     p = res[..., None] * (pos - 0.5)
     sgn = jnp.sign(dir)
     t_axis = (jnp.floor(p + 0.5 + 0.5 * sgn) - p) * idir
+    t_axis = jnp.where(jnp.abs(dir) < 1e-10, jnp.inf, t_axis)
     t = jnp.min(t_axis, axis=-1)
     return jnp.maximum(t / res, 0.0)
 

@@ -1,0 +1,161 @@
+"""NeRF rendering: occupancy-guided marching + volumetric compositing.
+
+Replaces the reference's wavefront tracer (NerfTracer::trace,
+src/testbed_nerf.cu:1639-1795; render_nerf :1827-1987). The CUDA design
+compacts alive rays on device with host readbacks every iteration
+(:1688) — a TPU anti-pattern. Here rendering reuses the training
+machinery: pixels are tiled into fixed-size ray batches; each batch is
+marched with the same fixed-trip occupancy-skipping scan, compacted by
+prefix sum, evaluated densely, and composited with min-transmittance
+early-out (render default 1e-2, eval 1e-4 — nerf.h:173, run.py:230).
+One jitted program per tile; zero host syncs inside a frame.
+
+Render modes (common.h:56-67): Shade, Depth, Positions, Normals (autodiff
+input gradient of density, like network->input_gradient :1724), AO.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import uv_to_ray
+from .march import (advance_n_steps, ray_intersect_aabb, unwarp_dt,
+                    warp_position)
+from .model import NerfNetwork, network_to_density, network_to_rgb
+from .sampler import RayBatch, compact_samples, march_rays, pad_samples_per_ray
+
+
+class RenderConfig(NamedTuple):
+    n_rays: int              # tile size (static)
+    n_march: int
+    max_samples_per_ray: int
+    sample_capacity: int
+    cone_angle: float
+    max_mip: int
+    rgb_activation: str
+    density_activation: str
+    min_transmittance: float = 1e-2
+    render_mode: str = "Shade"
+
+
+def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
+                origins: jax.Array, dirs: jax.Array, bitfield: jax.Array,
+                aabb_min, aabb_max, bg_color: jax.Array,
+                extra_dims: Optional[jax.Array] = None
+                ) -> Dict[str, jax.Array]:
+    """Render one tile of rays. origins/dirs (R, 3) in NGP space, dirs
+    normalized; bg_color (R, 3) linear. Returns rgba + depth."""
+    n_rays = origins.shape[0]
+    tmin, tmax = ray_intersect_aabb(origins, dirs, aabb_min, aabb_max)
+    tmin = jnp.maximum(tmin, 0.0)
+    valid = tmax >= tmin
+    t_start = advance_n_steps(tmin, cfg.cone_angle, 0.5)
+
+    rays = RayBatch(origins, dirs, t_start,
+                    jnp.zeros(n_rays, jnp.int32),
+                    jnp.zeros((n_rays, 2)),
+                    jnp.zeros((n_rays, 4)), valid)
+    ts, dts, emits = march_rays(rays, bitfield, aabb_min, aabb_max,
+                                cfg.cone_angle, cfg.max_mip, cfg.n_march,
+                                cfg.max_samples_per_ray)
+    samples = compact_samples(rays, ts, dts, emits, aabb_min, aabb_max,
+                              cfg.sample_capacity)
+
+    extra_flat = None
+    if extra_dims is not None:
+        extra_flat = jnp.broadcast_to(
+            extra_dims[None], (cfg.sample_capacity, extra_dims.shape[-1]))
+
+    if cfg.render_mode == "Normals":
+        # dL/dpos of raw density via autodiff (input_gradient equivalent)
+        def raw_density(p):
+            return jnp.sum(model.density(params, p))
+
+        grad = jax.grad(raw_density)(samples.positions)
+        normals = -grad / jnp.maximum(
+            jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+        raw_flat = model.apply(params, samples.positions, samples.dirs,
+                               extra_flat)
+        # color by normal, keep density for compositing
+        raw_flat = jnp.concatenate([normals, raw_flat[..., 3:4]], axis=-1)
+        shade_is_raw = True
+    else:
+        raw_flat = model.apply(params, samples.positions, samples.dirs,
+                               extra_flat)
+        shade_is_raw = False
+
+    raw_padded, mask = pad_samples_per_ray(samples, raw_flat,
+                                           cfg.max_samples_per_ray)
+    dt_padded, _ = pad_samples_per_ray(samples, samples.dts,
+                                       cfg.max_samples_per_ray)
+    t_padded, _ = pad_samples_per_ray(samples, samples.t_mid,
+                                      cfg.max_samples_per_ray)
+
+    if shade_is_raw:
+        rgb = raw_padded[..., :3] * 0.5 + 0.5
+    else:
+        rgb = network_to_rgb(raw_padded[..., :3], cfg.rgb_activation)
+    sigma = network_to_density(raw_padded[..., 3], cfg.density_activation)
+    dt = unwarp_dt(dt_padded)
+    alpha = jnp.where(mask, 1.0 - jnp.exp(-sigma * dt), 0.0)
+
+    one_minus = 1.0 - alpha
+    t_prefix = jnp.cumprod(one_minus, axis=-1)
+    T_before = jnp.concatenate(
+        [jnp.ones((n_rays, 1), alpha.dtype), t_prefix[:, :-1]], axis=-1)
+    alive = mask & (T_before >= cfg.min_transmittance)
+    weight = jnp.where(alive, alpha * T_before, 0.0)
+
+    if cfg.render_mode == "Positions":
+        pos_padded, _ = pad_samples_per_ray(samples, samples.positions,
+                                            cfg.max_samples_per_ray)
+        rgb = pos_padded
+    elif cfg.render_mode == "Depth":
+        rgb = jnp.repeat(t_padded[..., None], 3, axis=-1)
+    elif cfg.render_mode == "Cost":
+        rgb = jnp.ones_like(rgb)  # weight below becomes per-sample count
+
+    rgb_ray = jnp.sum(weight[..., None] * rgb, axis=1)
+    opacity = jnp.sum(weight, axis=1)
+    depth_ray = jnp.sum(weight * t_padded, axis=1)
+    # opacity-normalized depth looks wrong at silhouettes; reference keeps
+    # the weighted sum, matching composite_kernel_nerf
+    rgb_ray = rgb_ray + (1.0 - opacity)[..., None] * bg_color
+
+    if cfg.render_mode == "Cost":
+        n_steps = jnp.sum(mask, axis=1).astype(jnp.float32)
+        rgb_ray = jnp.repeat(n_steps[..., None] / 128.0, 3, axis=-1)
+
+    return {
+        "rgb": jnp.where(valid[..., None], rgb_ray, bg_color),
+        "alpha": jnp.where(valid, opacity, 0.0),
+        "depth": jnp.where(valid, depth_ray, 0.0),
+        "n_samples": samples.n_samples,
+    }
+
+
+def camera_rays_for_frame(width: int, height: int, focal_length,
+                          camera_matrix, screen_center=(0.5, 0.5),
+                          lens_mode: int = 0, lens_params=None,
+                          jitter: Optional[jax.Array] = None
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """(H*W, 3) origins + normalized dirs for a full frame. `jitter` (2,)
+    is the subpixel offset for spp accumulation (default pixel centers)."""
+    x = jnp.arange(width, dtype=jnp.float32)
+    y = jnp.arange(height, dtype=jnp.float32)
+    off = jnp.asarray([0.5, 0.5]) if jitter is None else jitter
+    uv = jnp.stack(jnp.meshgrid((x + off[0]) / width,
+                                (y + off[1]) / height, indexing="xy"),
+                   axis=-1).reshape(-1, 2)
+    origins, dirs, _ = uv_to_ray(
+        uv, (width, height), jnp.asarray(focal_length, jnp.float32),
+        jnp.asarray(camera_matrix, jnp.float32), screen_center,
+        lens_mode=lens_mode, lens_params=lens_params)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return origins, dirs

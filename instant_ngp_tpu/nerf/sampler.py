@@ -1,0 +1,211 @@
+"""Training-ray generation + occupancy-guided marching, TPU-native.
+
+Replaces generate_training_samples_nerf (src/testbed_nerf.cu:679-838).
+The CUDA design is two ragged passes with atomic compaction — an
+anti-pattern on TPU (SURVEY.md §7 hard parts). Here:
+
+1. `generate_rays`: pick a training image and pixel per ray lane
+   (uniform; error-CDF importance sampling plugs in later), build the ray
+   through the per-image lens/rolling-shutter camera, clip to the aabb,
+   jitter the start along the first step (matching `startt =
+   advance_n_steps(tmin, cone, rand)`).
+
+2. `march_rays`: a fixed-trip-count lax.scan; each iteration either emits
+   one sample (occupied cell: advance one cone step) or skips across the
+   current empty voxel at the largest empty mip (DDA, mip-escalated).
+   Produces a time-ordered (n_march, R) stream of candidate samples —
+   masked, fixed shape, no atomics.
+
+3. `compact_samples`: ray-major prefix-sum compaction of the masked
+   stream into a flat (capacity,) sample buffer plus per-ray (base,
+   count). Deterministic (unlike the reference's atomic ordering), static
+   shapes, and the network then runs on a dense batch with zero padding
+   waste — the TPU analog of the reference's count-then-write.
+
+Sample payload matches NerfCoordinate: warped position in [0,1]^3, warped
+direction dir/2+0.5, warped dt (nerf_device.cuh:144-199).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import uv_to_ray, xform_with_rolling_shutter
+from ..common import NERF_CASCADES
+from .dataset import NerfTrainingData, read_rgba
+from .march import (MAX_DEPTH, advance_n_steps, advance_to_next_voxel,
+                    aabb_contains, calc_dt, density_grid_occupied_at,
+                    mip_from_dt, mip_from_pos, ray_intersect_aabb,
+                    warp_direction, warp_dt, warp_position)
+
+
+class RayBatch(NamedTuple):
+    origins: jax.Array       # (R, 3) unnormalized ray origins
+    dirs: jax.Array          # (R, 3) normalized directions
+    t_start: jax.Array       # (R,) jittered march start
+    img_idx: jax.Array       # (R,) source image
+    uv: jax.Array            # (R, 2) pixel position
+    rgba: jax.Array          # (R, 4) premultiplied linear target
+    valid: jax.Array         # (R,) lane validity (masked pixels excluded)
+
+
+class SampleBatch(NamedTuple):
+    """Compacted flat samples + per-ray segment table."""
+
+    positions: jax.Array     # (S, 3) warped
+    dirs: jax.Array          # (S, 3) warped
+    dts: jax.Array           # (S,) warped
+    t_mid: jax.Array         # (S,) unwarped ray distance of the sample
+    ray_id: jax.Array        # (S,) source ray lane of each sample
+    ray_base: jax.Array      # (R,) first sample index of each ray
+    ray_count: jax.Array     # (R,) number of samples of each ray
+    n_samples: jax.Array     # () total valid samples (<= S)
+
+
+def generate_rays(key: jax.Array, data: NerfTrainingData, n_rays: int,
+                  aabb_min, aabb_max, cone_angle: float, lens_mode: int,
+                  snap_to_pixel_centers: bool = False) -> RayBatch:
+    """One ray per lane from a random (image, pixel)."""
+    k_img, k_uv, k_mb, k_t = jax.random.split(key, 4)
+    n_images = data.n_images
+    w, h = data.resolution
+
+    img_idx = jax.random.randint(k_img, (n_rays,), 0, n_images)
+    uv = jax.random.uniform(k_uv, (n_rays, 2))
+    if snap_to_pixel_centers:
+        res = jnp.asarray([w, h], jnp.float32)
+        uv = (jnp.floor(uv * res) + 0.5) / res
+
+    px = jnp.stack([(uv[:, 0] * w).astype(jnp.int32),
+                    (uv[:, 1] * h).astype(jnp.int32)], axis=-1)
+    rgba = read_rgba(data.pixels, img_idx, px)
+    valid = rgba[:, 0] >= 0.0  # hot-pink mask → skip lane
+
+    motionblur_time = jax.random.uniform(k_mb, (n_rays,))
+    xform = xform_with_rolling_shutter(
+        data.xforms_start[img_idx], data.xforms_end[img_idx],
+        data.rolling_shutter[img_idx], uv, motionblur_time)
+
+    origins, dirs_un, ray_ok = uv_to_ray(
+        uv, (w, h), data.focal_lengths[img_idx], xform,
+        screen_center=(0.5, 0.5), lens_mode=lens_mode,
+        lens_params=data.lens_params[img_idx])
+    valid = valid & ray_ok
+
+    dirs = dirs_un / jnp.linalg.norm(dirs_un, axis=-1, keepdims=True)
+    tmin, tmax = ray_intersect_aabb(origins, dirs, aabb_min, aabb_max)
+    tmin = jnp.maximum(tmin, 0.0)
+    valid = valid & (tmax >= tmin)
+
+    # jitter start by a random fraction of one step (testbed_nerf.cu:781)
+    t_start = advance_n_steps(tmin, cone_angle,
+                              jax.random.uniform(k_t, (n_rays,)))
+    return RayBatch(origins, dirs, t_start, img_idx, uv, rgba, valid)
+
+
+def march_rays(rays: RayBatch, bitfield: jax.Array, aabb_min, aabb_max,
+               cone_angle: float, max_mip: int, n_march: int,
+               max_samples_per_ray: int
+               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fixed-iteration occupancy-guided march.
+
+    Returns (ts, dts, is_sample) each (n_march, R): the time-ordered
+    candidate stream. Lanes stop by mask when they exit the aabb or hit
+    max_samples_per_ray (reference NERF_STEPS cap)."""
+    o, d = rays.origins, rays.dirs
+    idir = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                           jnp.where(d < 0, -1e-12, 1e-12), d)
+
+    def body(carry, _):
+        t, n_emitted, alive = carry
+        pos = o + t[:, None] * d
+        inside = aabb_contains(pos, aabb_min, aabb_max) & alive
+        dt = calc_dt(t, cone_angle)
+        mip = jnp.clip(mip_from_dt(dt, pos, max_mip), 0, max_mip)
+        occupied = density_grid_occupied_at(pos, bitfield, mip)
+
+        # mip escalation over empty space: climb while the parent cell is
+        # also empty, to take the largest possible DDA step
+        # (nerf_device.cuh:483-486)
+        esc_mip = mip
+        for _ in range(NERF_CASCADES - 1):
+            parent_empty = ~density_grid_occupied_at(
+                pos, bitfield, jnp.minimum(esc_mip + 1, max_mip))
+            esc_mip = jnp.where((esc_mip < max_mip) & parent_empty & ~occupied,
+                                esc_mip + 1, esc_mip)
+
+        emit = inside & occupied
+        t_next = jnp.where(
+            emit, t + dt,
+            advance_to_next_voxel(t, cone_angle, pos, d, idir, esc_mip))
+        t_next = jnp.where(inside, t_next, t)
+
+        n_new = n_emitted + emit.astype(jnp.int32)
+        alive = alive & inside & (n_new < max_samples_per_ray)
+        return (t_next, n_new, alive), (t, dt, emit)
+
+    init = (rays.t_start, jnp.zeros(o.shape[0], jnp.int32), rays.valid)
+    (_, n_final, _), (ts, dts, emits) = jax.lax.scan(
+        body, init, None, length=n_march)
+    return ts, dts, emits
+
+
+def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
+                    emits: jax.Array, aabb_min, aabb_max,
+                    capacity: int,
+                    extra_dims: Optional[jax.Array] = None) -> SampleBatch:
+    """Prefix-sum compaction of the (n_march, R) stream into (capacity,)
+    flat buffers, ray-major so each ray's samples are contiguous and
+    time-ordered."""
+    n_march, n_rays = emits.shape
+    # per-ray slot of each emitted sample (time order = scan order)
+    slot = jnp.cumsum(emits, axis=0) - emits.astype(jnp.int32)
+    count = jnp.sum(emits, axis=0).astype(jnp.int32)          # (R,)
+    base = jnp.cumsum(count) - count                           # (R,)
+    flat_pos = base[None, :] + slot                            # (n_march, R)
+    flat_pos = jnp.where(emits, flat_pos, capacity)            # drop invalid
+    flat_pos = jnp.minimum(flat_pos, capacity)                 # clamp tail
+
+    o, d = rays.origins, rays.dirs
+    pos = o[None] + ts[..., None] * d[None]                    # (M, R, 3)
+    warped_pos = warp_position(pos, aabb_min, aabb_max)
+    warped_dir = warp_direction(d)                             # (R, 3)
+    warped_dt = warp_dt(dts)
+
+    def scatter(dst_shape, values):
+        out = jnp.zeros((capacity + 1, *dst_shape[1:]), values.dtype)
+        return out.at[flat_pos.reshape(-1)].set(
+            values.reshape(-1, *dst_shape[1:]), mode="drop")[:capacity]
+
+    positions = scatter((capacity, 3), warped_pos)
+    dirs = scatter((capacity, 3),
+                   jnp.broadcast_to(warped_dir[None], pos.shape))
+    dt_flat = scatter((capacity,), warped_dt)
+    t_flat = scatter((capacity,), ts)
+    ray_ids = jnp.broadcast_to(
+        jnp.arange(n_rays, dtype=jnp.int32)[None], emits.shape)
+    ray_id_flat = scatter((capacity,), ray_ids)
+
+    n_samples = jnp.minimum(base[-1] + count[-1], capacity)
+    # clip per-ray segments to the capacity
+    base_c = jnp.minimum(base, capacity)
+    count_c = jnp.minimum(count, capacity - base_c)
+    return SampleBatch(positions, dirs, dt_flat, t_flat, ray_id_flat,
+                       base_c, count_c, n_samples)
+
+
+def pad_samples_per_ray(samples: SampleBatch, values: jax.Array,
+                        max_per_ray: int) -> Tuple[jax.Array, jax.Array]:
+    """Gather flat per-sample `values` (S, C) into padded per-ray layout
+    (R, max_per_ray, C) + mask (R, max_per_ray) for compositing."""
+    r = samples.ray_base.shape[0]
+    k = jnp.arange(max_per_ray)
+    idx = samples.ray_base[:, None] + k[None, :]
+    mask = k[None, :] < samples.ray_count[:, None]
+    idx = jnp.where(mask, idx, 0)
+    gathered = values[idx]
+    return gathered, mask

@@ -1,0 +1,390 @@
+"""NeRF testbed: orchestrates data, model, occupancy grid, training.
+
+The TPU equivalent of the reference's NeRF half of `Testbed`
+(train_nerf, testbed_nerf.cu:2448-2681; training_prep_nerf :2933-2946;
+load_nerf_post invariants :2151-2239). Host logic here is thin: everything
+per-step runs as two jitted programs (density-grid maintenance + train
+step), with only the adaptive ray-batch feedback crossing the host
+boundary — mirroring NerfCounters::update_after_training (:2422-2446) but
+bucketed to powers of two so recompiles stay bounded.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import (NERF_GRID_N_CELLS, TestbedMode)
+from ..ops.losses import LossType, loss_type_from_string
+from ..ops.optimizers import create_optimizer
+from .dataset import (NerfSceneConfig, NerfTrainingData, pack_training_data,
+                      scene_config_from_dataset)
+from .march import MAX_DEPTH
+from .model import NerfNetwork
+from .occupancy import (cell_positions, density_grid_mean, init_bitfield,
+                        init_density_grid, mark_untrained_cells, sample_cells,
+                        splat_and_ema, update_bitfield)
+from .training import NerfTrainStepConfig, nerf_train_step
+from .visibility import compute_visible_cells
+
+
+class NerfTestbed:
+    mode = TestbedMode.Nerf
+
+    def __init__(self, dataset, network_config: Dict[str, Any],
+                 seed: int = 1337, compute_dtype=jnp.bfloat16):
+        from ..data.nerf_loader import NerfDataset
+
+        assert isinstance(dataset, NerfDataset)
+        self.dataset = dataset
+        self.config = network_config
+        self.scene: NerfSceneConfig = scene_config_from_dataset(dataset)
+        self.data: NerfTrainingData = pack_training_data(dataset)
+
+        self.model = NerfNetwork(
+            n_pos_dims=3, n_dir_dims=3,
+            n_extra_dims=self.scene.n_extra_dims,
+            encoding_config=network_config["encoding"],
+            dir_encoding_config=network_config.get(
+                "dir_encoding", {"otype": "SphericalHarmonics", "degree": 4}),
+            network_config=network_config["network"],
+            rgb_network_config=network_config.get(
+                "rgb_network", network_config["network"]),
+            desired_resolution=2048.0,
+            aabb_scale=self.scene.aabb_scale,
+            compute_dtype=compute_dtype)
+
+        self.optimizer = create_optimizer(network_config["optimizer"])
+        self.loss_type = loss_type_from_string(
+            network_config.get("loss", {}).get("otype", "L2"))
+
+        key = jax.random.PRNGKey(seed)
+        params = self.model.init(key)
+        self.state = {"params": params, "opt": self.optimizer.init(params)}
+
+        n_cascades = self.scene.max_cascade + 1
+        self.density_grid = init_density_grid(n_cascades)
+        self.bitfield = init_bitfield()
+        self.mean_density = jnp.zeros(())
+        self.density_grid_ema_step = 0
+
+        self.training_step = 0
+        self.seed = seed
+        self.loss_scalar = float("nan")
+
+        # adaptive ray batching (nerf.h:35; bucketed powers of two)
+        self.target_batch_size = 1 << 18
+        self.rays_per_batch = 1 << 12
+        self.measured_batch_size = 0
+        self.measured_batch_size_before_compaction = 0
+
+        # march shape knobs (static per compile)
+        self.n_march = 512
+        self.max_samples_per_ray = 128
+
+        # density-update sample counts; None = reference cadence
+        # (all cells for the first 256 steps, then 1/4 + 1/4)
+        self.density_samples_override = None
+
+        self._visible_cells = None
+        self._train_fns = {}     # (n_rays, k) -> jitted step
+        self._density_fns = {}
+
+    # ------------------------------------------------------------------
+    def _train_cfg(self, n_rays: int, max_k: int) -> NerfTrainStepConfig:
+        return NerfTrainStepConfig(
+            n_rays=n_rays,
+            n_march=self.n_march,
+            max_samples_per_ray=max_k,
+            sample_capacity=self.target_batch_size,
+            lens_mode=self.scene.lens_mode,
+            cone_angle=self.scene.cone_angle_constant,
+            max_mip=self.scene.max_cascade,
+            rgb_activation=self.scene.rgb_activation,
+            density_activation=self.scene.density_activation,
+            loss_type=self.loss_type,
+            near_distance=self.scene.near_distance,
+        )
+
+    def _get_train_fn(self, n_rays: int, max_k: int):
+        key = (n_rays, max_k)
+        if key not in self._train_fns:
+            cfg = self._train_cfg(n_rays, max_k)
+            aabb_min = jnp.asarray(self.scene.aabb_min)
+            aabb_max = jnp.asarray(self.scene.aabb_max)
+
+            def step(state, data, bitfield, mean_density, rng):
+                return nerf_train_step(self.model, self.optimizer, cfg,
+                                       aabb_min, aabb_max, state, data,
+                                       bitfield, mean_density, rng)
+
+            self._train_fns[key] = jax.jit(step, donate_argnums=(0,))
+        return self._train_fns[key]
+
+    # ------------------------------------------------------------------
+    # density grid maintenance (training_prep_nerf)
+    # ------------------------------------------------------------------
+    def _get_density_fn(self, n_uniform: int, n_nonuniform: int):
+        key = (n_uniform, n_nonuniform)
+        if key not in self._density_fns:
+            n_cascades = self.scene.max_cascade + 1
+            aabb_min = jnp.asarray(self.scene.aabb_min)
+            aabb_max = jnp.asarray(self.scene.aabb_max)
+            model = self.model
+            max_cascade = self.scene.max_cascade
+            density_activation = self.scene.density_activation
+
+            def update(params, density_grid, rng, decay):
+                from .march import warp_position
+                from .model import network_to_density
+
+                k_cells, k_pos = jax.random.split(rng)
+                idx = sample_cells(k_cells, density_grid, 0,
+                                   n_uniform, n_nonuniform, n_cascades)
+                pos = cell_positions(idx, k_pos)
+                warped = warp_position(pos, aabb_min, aabb_max)
+                raw = model.density(params, warped)
+                dens = network_to_density(raw, density_activation)
+                new_grid = splat_and_ema(density_grid, idx, dens, decay)
+                bitfield = update_bitfield(new_grid, max_cascade)
+                mean = density_grid_mean(new_grid)
+                return new_grid, bitfield, mean
+
+            self._density_fns[key] = jax.jit(update)
+        return self._density_fns[key]
+
+    def training_prep(self, decay: float = 0.95) -> None:
+        """Occupancy-grid maintenance before a train step
+        (training_prep_nerf :2933-2946)."""
+        n_cascades = self.scene.max_cascade + 1
+        n_cells = NERF_GRID_N_CELLS * n_cascades
+
+        if self.training_step == 0 and not self.dataset.has_rays:
+            if self._visible_cells is None:
+                self._visible_cells = compute_visible_cells(
+                    self.data, self.scene)
+            self.density_grid = mark_untrained_cells(
+                self.density_grid, self._visible_cells)
+
+        if self.density_samples_override is not None:
+            n = self.density_samples_override
+            fn = self._get_density_fn(n, 0 if self.training_step < 256
+                                      else n)
+        elif self.training_step < 256:
+            fn = self._get_density_fn(n_cells, 0)
+        else:
+            fn = self._get_density_fn(n_cells // 4, n_cells // 4)
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed ^ 0xD3), self.density_grid_ema_step)
+        params = self.optimizer.inference_params(self.state["opt"],
+                                                 self.state["params"])
+        self.density_grid, self.bitfield, self.mean_density = fn(
+            params, self.density_grid, rng, decay)
+        self.density_grid_ema_step += 1
+
+    # ------------------------------------------------------------------
+    def train(self, n_steps: int) -> float:
+        """n_steps full training iterations (prep + step + adapt)."""
+        total_loss = 0.0
+        for _ in range(n_steps):
+            self.training_prep()
+            n_rays = self._bucket(self.rays_per_batch)
+            max_k = self._bucket_k(n_rays)
+            fn = self._get_train_fn(n_rays, max_k)
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                     self.training_step)
+            self.state, stats = fn(self.state, self.data, self.bitfield,
+                                   self.mean_density, rng)
+            self.training_step += 1
+
+            measured = int(stats["measured_batch_size"])
+            measured_pre = int(stats["measured_batch_size_before_compaction"])
+            if measured == 0:
+                self.loss_scalar = 0.0
+                raise RuntimeError(
+                    "NeRF training generated 0 samples; aborting "
+                    "(reference testbed_nerf.cu:2516-2520)")
+            loss = float(stats["loss"]) * measured / self.target_batch_size
+            self.loss_scalar = loss
+            total_loss += loss
+            self.measured_batch_size = measured
+            self.measured_batch_size_before_compaction = measured_pre
+
+            # adaptive rays/batch (update_after_training :2442-2443)
+            new_rays = int(self.rays_per_batch * self.target_batch_size
+                           / max(measured, 1))
+            self.rays_per_batch = min(max(new_rays, 256), 1 << 18)
+        return self.loss_scalar
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Round up to the next power of two to bound recompiles."""
+        return 1 << max(int(math.ceil(math.log2(max(n, 256)))), 8)
+
+    def _bucket_k(self, n_rays: int) -> int:
+        """Padded samples-per-ray for compositing: enough to cover the
+        target batch at this ray count, clamped to the march cap."""
+        k = self.target_batch_size // max(n_rays, 1) * 4
+        k = 1 << int(math.ceil(math.log2(max(k, 8))))
+        return min(max(k, 8), self.max_samples_per_ray)
+
+    # ------------------------------------------------------------------
+    # rendering
+    # ------------------------------------------------------------------
+    def _get_render_fn(self, tile: int, mode: str, min_transmittance: float):
+        key = (tile, mode, min_transmittance)
+        if not hasattr(self, "_render_fns"):
+            self._render_fns = {}
+        if key not in self._render_fns:
+            from .render import RenderConfig, render_tile
+
+            cfg = RenderConfig(
+                n_rays=tile, n_march=1024,
+                max_samples_per_ray=self.max_samples_per_ray,
+                sample_capacity=tile * 32,
+                cone_angle=self.scene.cone_angle_constant,
+                max_mip=self.scene.max_cascade,
+                rgb_activation=self.scene.rgb_activation,
+                density_activation=self.scene.density_activation,
+                min_transmittance=min_transmittance,
+                render_mode=mode)
+            aabb_min = jnp.asarray(self.scene.aabb_min)
+            aabb_max = jnp.asarray(self.scene.aabb_max)
+
+            def fn(params, origins, dirs, bitfield, bg):
+                return render_tile(self.model, cfg, params, origins, dirs,
+                                   bitfield, aabb_min, aabb_max, bg)
+
+            self._render_fns[key] = jax.jit(fn)
+        return self._render_fns[key]
+
+    def render_frame(self, width: int, height: int, camera_matrix,
+                     focal_length=None, spp: int = 1,
+                     background_color=(0.0, 0.0, 0.0),
+                     render_mode: str = "Shade",
+                     min_transmittance: float = 1e-2,
+                     tile: int = 1 << 14) -> np.ndarray:
+        """Render a frame; returns (H, W, 4) linear float32.
+
+        camera_matrix: (3, 4) NGP-space camera. focal_length defaults to a
+        50mm-ish fov scaled from the training camera if available.
+        spp > 1 accumulates jittered subpixel samples (render_buffer
+        accumulate semantics)."""
+        from ..ops.sampling import ld_pixel_offset
+        from .render import camera_rays_for_frame
+
+        if focal_length is None:
+            fl = np.asarray(self.data.focal_lengths[0])
+            res0 = self.data.resolution
+            fl = fl * np.array([width / res0[0], height / res0[1]])
+        else:
+            fl = np.asarray(focal_length, np.float32)
+            if fl.ndim == 0:
+                fl = np.array([float(fl), float(fl)], np.float32)
+
+        params = self.inference_params()
+        fn = self._get_render_fn(tile, render_mode, min_transmittance)
+        bg = jnp.broadcast_to(jnp.asarray(background_color, jnp.float32),
+                              (tile, 3))
+
+        n_pixels = width * height
+        acc = jnp.zeros((n_pixels, 4), jnp.float32)
+        depth_acc = jnp.zeros((n_pixels,), jnp.float32)
+        for s in range(spp):
+            jitter = None if spp == 1 else ld_pixel_offset(s)
+            origins, dirs = camera_rays_for_frame(
+                width, height, fl, camera_matrix,
+                lens_mode=0, jitter=jitter)
+            n_pad = (n_pixels + tile - 1) // tile * tile
+            o = jnp.concatenate(
+                [origins, jnp.zeros((n_pad - n_pixels, 3))])
+            d = jnp.concatenate(
+                [dirs, jnp.ones((n_pad - n_pixels, 3)) * 0.577])
+            rgbs, alphas, depths = [], [], []
+            for i in range(0, n_pad, tile):
+                out = fn(params, o[i:i + tile], d[i:i + tile],
+                         self.bitfield, bg)
+                rgbs.append(out["rgb"])
+                alphas.append(out["alpha"])
+                depths.append(out["depth"])
+            rgb = jnp.concatenate(rgbs)[:n_pixels]
+            alpha = jnp.concatenate(alphas)[:n_pixels]
+            depth = jnp.concatenate(depths)[:n_pixels]
+            acc = acc + jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+            depth_acc = depth_acc + depth
+        frame = np.asarray(acc / spp).reshape(height, width, 4)
+        return frame
+
+    def render_training_view(self, img_idx: int, spp: int = 1,
+                             width: Optional[int] = None,
+                             height: Optional[int] = None,
+                             min_transmittance: float = 1e-4,
+                             background_color=(0.0, 0.0, 0.0)) -> np.ndarray:
+        """Render from a training camera (the --test_transforms eval view)."""
+        w0, h0 = self.data.resolution
+        width = width or w0
+        height = height or h0
+        fl = np.asarray(self.data.focal_lengths[img_idx]) \
+            * np.array([width / w0, height / h0])
+        cam = np.asarray(self.data.xforms_start[img_idx])
+        return self.render_frame(width, height, cam, fl, spp=spp,
+                                 min_transmittance=min_transmittance,
+                                 background_color=background_color)
+
+    def eval_psnr(self, img_idx: int, spp: int = 1,
+                  downscale: int = 1) -> float:
+        """PSNR of a rendered training view vs its ground-truth image in
+        sRGB space (scripts/run.py:252-268 semantics, black background)."""
+        from ..common import linear_to_srgb
+
+        w0, h0 = self.data.resolution
+        w, h = w0 // downscale, h0 // downscale
+        render = self.render_training_view(img_idx, spp=spp,
+                                           width=w, height=h)
+        gt_raw = np.asarray(self.data.pixels[img_idx])
+        if gt_raw.dtype == np.uint8:
+            gt_srgb = gt_raw[..., :3].astype(np.float32) / 255.0
+            gt_alpha = gt_raw[..., 3:4].astype(np.float32) / 255.0
+            gt_srgb = gt_srgb * gt_alpha  # premultiplied black-bg composite
+        else:
+            gt_srgb = linear_to_srgb(np.asarray(gt_raw[..., :3], np.float32))
+            gt_alpha = np.asarray(gt_raw[..., 3:4], np.float32)
+        if downscale != 1:
+            gt_srgb = gt_srgb[::downscale, ::downscale][:h, :w]
+        # model color space: sRGB training → rendered values are sRGB
+        pred = np.clip(render[..., :3], 0.0, 1.0)
+        mse = float(np.mean((pred - gt_srgb) ** 2))
+        return -10.0 * math.log10(max(mse, 1e-20))
+
+    # ------------------------------------------------------------------
+    def inference_params(self):
+        return self.optimizer.inference_params(self.state["opt"],
+                                               self.state["params"])
+
+    def save_snapshot(self, path: str) -> None:
+        from ..data.snapshot import save_snapshot
+
+        save_snapshot(path, {
+            "mode": self.mode.value,
+            "config": self.config,
+            "trainer": self.state,
+            "density_grid": self.density_grid,
+            "training_step": self.training_step,
+            "density_grid_ema_step": self.density_grid_ema_step,
+            "aabb_scale": self.scene.aabb_scale,
+        })
+
+    def load_snapshot_state(self, snapshot: Dict[str, Any]) -> None:
+        self.state = jax.tree_util.tree_map(jnp.asarray, snapshot["trainer"])
+        self.density_grid = jnp.asarray(snapshot["density_grid"])
+        self.training_step = int(snapshot.get("training_step", 0))
+        self.density_grid_ema_step = int(
+            snapshot.get("density_grid_ema_step", 0))
+        self.bitfield = update_bitfield(self.density_grid,
+                                        self.scene.max_cascade)
+        self.mean_density = density_grid_mean(self.density_grid)

@@ -1,0 +1,262 @@
+"""NeRF training step: volumetric composite loss + gradient, fully jitted.
+
+Re-implements compute_loss_kernel_train_nerf (src/testbed_nerf.cu:841-1160)
+and the train_nerf_step orchestration (:2683-2930) the TPU way:
+
+- The reference runs inference over uncompacted samples, derives
+  dL/d(mlp_out) ANALYTICALLY in a kernel, then calls the trainer with a
+  custom gradient. Here the composite is expressed as a differentiable
+  masked computation over a padded (R, K) sample layout and autodiff
+  produces exactly that analytic gradient (chain rule through
+  alpha = 1-exp(-sigma dt) and the transmittance prefix products), with
+  the same early-termination (T < 1e-4) masking — samples past the
+  cutoff get zero gradient, mirroring compaction.
+- Reference regularizer semantics are reproduced as loss terms whose
+  gradients equal the hand-added ones: output_l2_reg on exponential RGB
+  outputs, L1 density reg when mean density is low, near-plane density
+  penalty (:1058-1115).
+- Loss normalization matches: per-ray channel-mean loss averaged over the
+  ray-batch lane count.
+- Background composite: random background color (sRGB-warped), applied
+  only to rays that composited ALL their samples (:997-1003).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import NERF_MIN_OPTICAL_THICKNESS
+from ..ops.losses import loss_and_gradient, LossType
+from .dataset import NerfTrainingData
+from .march import unwarp_dt
+from .model import (NerfNetwork, network_to_density, network_to_rgb)
+from .sampler import (RayBatch, SampleBatch, compact_samples, generate_rays,
+                      march_rays, pad_samples_per_ray)
+
+EPSILON = 1e-4  # training transmittance cutoff (testbed_nerf.cu:905)
+
+
+def _linear_to_srgb(x):
+    return jnp.where(x <= 0.0031308, 12.92 * x,
+                     1.055 * jnp.maximum(x, 1e-12) ** (1.0 / 2.4) - 0.055)
+
+
+def _srgb_to_linear(x):
+    return jnp.where(x <= 0.04045, x / 12.92,
+                     ((jnp.maximum(x, 0.0) + 0.055) / 1.055) ** 2.4)
+
+
+class CompositeResult(NamedTuple):
+    loss_for_grad: jax.Array      # scalar; autodiff target
+    per_ray_loss: jax.Array       # (R,) reported loss per lane
+    measured_compacted: jax.Array  # () samples surviving T-cutoff
+    rgb_rays: jax.Array           # (R, 3) composited color
+    depth_rays: jax.Array         # (R,)
+
+
+def composite_loss(raw_padded: jax.Array, mask: jax.Array,
+                   dt_padded: jax.Array, t_padded: jax.Array,
+                   rays: RayBatch, bg_color: jax.Array,
+                   exposure: jax.Array,
+                   rgb_activation: str, density_activation: str,
+                   loss_type: LossType, mean_density: jax.Array,
+                   near_distance: float,
+                   train_in_linear_colors: bool = False,
+                   depth_padded_target: Optional[jax.Array] = None,
+                   depth_supervision_lambda: float = 0.0,
+                   depth_loss_type: LossType = LossType.L1,
+                   ) -> CompositeResult:
+    """raw_padded (R, K, 4) pre-activation outputs; mask (R, K) valid.
+
+    bg_color: (R, 3) LINEAR-space random/fixed background (reference
+    applies srgb_to_linear to the random color; caller does that).
+    exposure: (R, 3) log2-exposure of each ray's source image."""
+    n_lanes = raw_padded.shape[0]
+
+    rgb = network_to_rgb(raw_padded[..., :3], rgb_activation)    # (R,K,3)
+    sigma = network_to_density(raw_padded[..., 3], density_activation)
+    dt = unwarp_dt(dt_padded)
+    alpha = jnp.where(mask, 1.0 - jnp.exp(-sigma * dt), 0.0)
+
+    # transmittance BEFORE each sample: exclusive prefix product
+    one_minus = 1.0 - alpha
+    t_prefix = jnp.cumprod(one_minus, axis=-1)
+    T_before = jnp.concatenate(
+        [jnp.ones((n_lanes, 1), alpha.dtype), t_prefix[:, :-1]], axis=-1)
+
+    # training early-out: stop compositing once T < EPSILON — those
+    # samples are dropped from loss AND gradient (compaction semantics)
+    alive = mask & (T_before >= EPSILON)
+    weight = jnp.where(alive, alpha * T_before, 0.0)
+
+    rgb_ray = jnp.sum(weight[..., None] * rgb, axis=1)           # (R, 3)
+    depth_ray = jnp.sum(weight * t_padded, axis=1)
+    T_final = 1.0 - jnp.sum(weight, axis=1)                      # residual
+
+    # background + target color (compute_loss_kernel :957-996). In sRGB
+    # mode (default) the network's composited color lives in sRGB space,
+    # so the background must be sRGB-warped before compositing.
+    exposure_scale = jnp.exp2(exposure)
+    texsamp = rays.rgba                                          # premult linear
+    if train_in_linear_colors:
+        bg_net = bg_color
+        rgbtarget = exposure_scale * texsamp[:, :3] \
+            + (1.0 - texsamp[:, 3:4]) * bg_color
+    else:
+        a = texsamp[:, 3:4]
+        unpre = jnp.where(a > 0, texsamp[:, :3] / jnp.maximum(a, 1e-8), 0.0)
+        bg_net = _linear_to_srgb(bg_color)
+        rgbtarget = jnp.where(
+            a > 0, _linear_to_srgb(exposure_scale * unpre) * a
+            + (1.0 - a) * bg_net, bg_net)
+
+    # a ray is "finished" if no sample was cut by the epsilon early-out;
+    # only finished rays composite the background (:997-1003)
+    n_alive = jnp.sum(alive, axis=1)
+    n_valid = jnp.sum(mask, axis=1)
+    finished = n_alive == n_valid
+    rgb_ray = rgb_ray + jnp.where(finished[..., None],
+                                  T_final[..., None], 0.0) * bg_net
+
+    lane_valid = rays.valid & (n_valid > 0)
+    loss_elem, _ = loss_and_gradient(loss_type, rgbtarget, rgb_ray)
+    per_ray_loss = jnp.where(lane_valid, jnp.mean(loss_elem, axis=-1), 0.0)
+    loss_main = jnp.sum(per_ray_loss) / n_lanes
+
+    # depth supervision (:1013-1015, gradient at :1106)
+    loss_depth = 0.0
+    if depth_supervision_lambda > 0.0 and depth_padded_target is not None:
+        target_depth = depth_padded_target
+        d_elem, _ = loss_and_gradient(depth_loss_type,
+                                      target_depth, depth_ray)
+        has_depth = lane_valid & (target_depth > 0)
+        loss_depth = depth_supervision_lambda * jnp.sum(
+            jnp.where(has_depth, d_elem, 0.0)) / n_lanes
+
+    # ---- regularizers with reference-equal gradients (:1058-1115) ----
+    raw_rgb = raw_padded[..., :3]
+    raw_sigma = raw_padded[..., 3]
+    reg = 0.0
+    if rgb_activation == "Exponential":
+        # grad += max(0, 1e-4 * out): loss term 0.5e-4 * relu(out)^2
+        reg = reg + 1e-4 * 0.5 * jnp.sum(
+            jnp.where(alive[..., None], jnp.maximum(raw_rgb, 0.0) ** 2, 0.0)
+        ) / n_lanes
+    # L1 density reg when the scene is still mostly empty: grad is
+    # -1e-4 for raw < 0  →  loss term 1e-4 * relu(-raw)
+    l1_on = mean_density < NERF_MIN_OPTICAL_THICKNESS
+    reg = reg + jnp.where(l1_on, 1e-4, 0.0) * jnp.sum(
+        jnp.where(alive, jnp.maximum(-raw_sigma, 0.0), 0.0)) / n_lanes
+    # near-plane density penalty: constant +1e-4 gradient on raw density
+    # for samples closer than near_distance (and raw > -10)
+    if near_distance > 0.0:
+        near_mask = alive & (t_padded < near_distance) & (raw_sigma > -10.0)
+        reg = reg + 1e-4 * jnp.sum(jnp.where(near_mask, raw_sigma, 0.0)) \
+            / n_lanes
+
+    loss_for_grad = loss_main + loss_depth + reg
+    return CompositeResult(loss_for_grad, per_ray_loss,
+                           jnp.sum(n_alive), rgb_ray, depth_ray)
+
+
+class NerfTrainStepConfig(NamedTuple):
+    """Static (trace-time) knobs of the train step."""
+
+    n_rays: int
+    n_march: int
+    max_samples_per_ray: int
+    sample_capacity: int
+    lens_mode: int
+    cone_angle: float
+    max_mip: int
+    rgb_activation: str
+    density_activation: str
+    loss_type: Any
+    near_distance: float
+    train_in_linear_colors: bool = False
+    random_bg_color: bool = True
+    snap_to_pixel_centers: bool = False
+    depth_supervision_lambda: float = 0.0
+    max_level_rand_training: bool = False
+
+
+def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
+                    aabb_min, aabb_max,
+                    state: Dict[str, Any], data: NerfTrainingData,
+                    bitfield: jax.Array, mean_density: jax.Array,
+                    key: jax.Array
+                    ) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
+    """One full NeRF training step (pure function; jit with model/optimizer/
+    cfg closed over statically)."""
+    k_rays, k_bg, k_grad = jax.random.split(key, 3)
+
+    rays = generate_rays(k_rays, data, cfg.n_rays, aabb_min, aabb_max,
+                         cfg.cone_angle, cfg.lens_mode,
+                         cfg.snap_to_pixel_centers)
+    ts, dts, emits = march_rays(rays, bitfield, aabb_min, aabb_max,
+                                cfg.cone_angle, cfg.max_mip, cfg.n_march,
+                                cfg.max_samples_per_ray)
+    samples = compact_samples(rays, ts, dts, emits, aabb_min, aabb_max,
+                              cfg.sample_capacity)
+
+    if cfg.random_bg_color:
+        bg = jax.random.uniform(k_bg, (cfg.n_rays, 3))
+    else:
+        bg = jnp.zeros((cfg.n_rays, 3))
+    bg = _srgb_to_linear(bg)
+
+    extra_flat = None
+    if data.extra_dims is not None:
+        # per-sample latent: gather via the sample's source ray's image
+        extra_flat = data.extra_dims[rays.img_idx[samples.ray_id]]
+
+    exposure = data.exposures[rays.img_idx]
+
+    depth_target = None
+    if cfg.depth_supervision_lambda > 0 and data.depths is not None:
+        w, h = data.resolution
+        px = jnp.stack([(rays.uv[:, 0] * w).astype(jnp.int32),
+                        (rays.uv[:, 1] * h).astype(jnp.int32)], axis=-1)
+        x = jnp.clip(px[..., 0], 0, w - 1)
+        y = jnp.clip(px[..., 1], 0, h - 1)
+        depth_target = data.depths[rays.img_idx, y, x]
+
+    def loss_fn(params):
+        raw_flat = model.apply(params, samples.positions, samples.dirs,
+                               extra_flat)
+        raw_padded, mask = pad_samples_per_ray(samples, raw_flat,
+                                               cfg.max_samples_per_ray)
+        dt_padded, _ = pad_samples_per_ray(samples, samples.dts,
+                                           cfg.max_samples_per_ray)
+        t_padded, _ = pad_samples_per_ray(samples, samples.t_mid,
+                                          cfg.max_samples_per_ray)
+        result = composite_loss(
+            raw_padded, mask, dt_padded, t_padded, rays, bg, exposure,
+            cfg.rgb_activation, cfg.density_activation, cfg.loss_type,
+            mean_density, cfg.near_distance, cfg.train_in_linear_colors,
+            depth_target, cfg.depth_supervision_lambda)
+        return result.loss_for_grad, result
+
+    (loss_val, result), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state["params"])
+
+    from ..ops.trainer import default_l2_mask
+
+    new_params, new_opt = optimizer.step(
+        state["opt"], state["params"], grads,
+        l2_mask=default_l2_mask(state["params"]))
+    new_state = {"params": new_params, "opt": new_opt}
+
+    stats = {
+        # reference: loss_output[i] = mean_loss / n_rays, summed on host
+        "loss": jnp.sum(result.per_ray_loss) / cfg.n_rays,
+        "measured_batch_size": result.measured_compacted,
+        "measured_batch_size_before_compaction": samples.n_samples,
+        "n_rays": jnp.sum(rays.valid.astype(jnp.int32)),
+    }
+    return new_state, stats

@@ -1,0 +1,306 @@
+"""SDF mode: fit a neural SDF to a mesh, render by sphere tracing.
+
+Re-implements src/testbed_sdf.cu (1400 LoC):
+- training samples: 4/8 exactly on the surface (area-weighted triangle
+  sampling, distance 0), 3/8 surface + logistic perturbation with
+  stddev = bounding_radius/1024 * surface_offset_scale, 1/8 uniform in
+  the (optionally inflated) aabb; labels from the BVH's signed distance
+  (generate_training_samples_sdf :1186-1274);
+- training: shuffled samples through the standard trainer, MAPE loss
+  (train_sdf :1323-1346; configs/sdf/base.json);
+- rendering: vectorized sphere tracing with the reference's stop rule
+  (advance_pos_kernel_sdf :147-217: advance by (d - zero_offset) *
+  distance_scale, die when |step| <= maximum_distance-ish), normals by
+  autodiff input gradient or central finite differences
+  (FiniteDifferenceNormalsApproximator :826-880), Disney BRDF shading;
+- ground-truth modes: BVH raytrace / BVH-SDF sphere trace (oracles);
+- IoU metric: MC sign agreement vs the BVH (calculate_iou :1363-1399).
+
+TPU design: labels are produced by the native C++ BVH on the host (the
+one irregular workload here), everything else is jitted; the sphere
+tracer is a fixed-trip masked loop over full ray batches (lanes die by
+mask; no per-iteration host compaction).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import TestbedMode
+from ..geom.triangle_bvh import (TriangleBvh, load_obj,
+                                 normalize_mesh_to_unit_cube)
+from ..ops.factory import create_network_with_encoding
+from ..ops.losses import create_loss
+from ..ops.optimizers import create_optimizer
+from ..ops.trainer import Trainer
+from .brdf import BRDFParams, evaluate_shading
+
+
+class SdfTestbed:
+    mode = TestbedMode.Sdf
+
+    def __init__(self, mesh_or_path, network_config: Dict[str, Any],
+                 seed: int = 1337, compute_dtype=jnp.bfloat16):
+        if isinstance(mesh_or_path, str):
+            triangles = load_obj(mesh_or_path)
+        else:
+            triangles = np.asarray(mesh_or_path, np.float32)
+        self.triangles, self.mesh_scale, self.mesh_offset = \
+            normalize_mesh_to_unit_cube(triangles)
+        self.bvh = TriangleBvh(self.triangles)
+
+        # area-weighted triangle CDF for surface sampling
+        a, b, c = (self.triangles[:, 0], self.triangles[:, 1],
+                   self.triangles[:, 2])
+        areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=-1)
+        cdf = np.cumsum(areas)
+        self.triangle_cdf = (cdf / cdf[-1]).astype(np.float64)
+
+        center = self.triangles.reshape(-1, 3).mean(0)
+        self.bounding_radius = float(np.linalg.norm(
+            self.triangles.reshape(-1, 3) - center, axis=-1).max())
+
+        self.config = network_config
+        self.model, self.resolved_config = create_network_with_encoding(
+            3, 1, network_config, desired_resolution=2048.0,
+            compute_dtype=compute_dtype)
+        self.optimizer = create_optimizer(network_config["optimizer"])
+        self.loss_fn = create_loss(network_config.get("loss",
+                                                      {"otype": "MAPE"}))
+        self.trainer = Trainer(self.model, self.optimizer, self.loss_fn,
+                               seed=seed)
+        self.state = self.trainer.init_state()
+        self.training_step = 0
+        self.seed = seed
+        self.loss_scalar = float("nan")
+
+        # reference defaults (testbed.h:789-858)
+        self.zero_offset = 0.0
+        self.distance_scale = 0.95
+        self.maximum_distance = 5e-5
+        self.surface_offset_scale = 1.0
+        self.mesh_sdf_mode = "Raystab"
+        self.brdf = BRDFParams()
+        self.aabb_min = np.zeros(3, np.float32)
+        self.aabb_max = np.ones(3, np.float32)
+
+        self._np_rng = np.random.RandomState(seed)
+
+    # ------------------------------------------------------------------
+    # training data (generate_training_samples_sdf)
+    # ------------------------------------------------------------------
+    def sample_surface(self, n: int) -> np.ndarray:
+        """Uniform area-weighted points on the mesh surface."""
+        tri_idx = np.searchsorted(self.triangle_cdf,
+                                  self._np_rng.rand(n))
+        tri_idx = np.minimum(tri_idx, len(self.triangles) - 1)
+        t = self.triangles[tri_idx]
+        u = self._np_rng.rand(n, 1).astype(np.float32)
+        v = self._np_rng.rand(n, 1).astype(np.float32)
+        flip = (u + v) > 1
+        u = np.where(flip, 1 - u, u)
+        v = np.where(flip, 1 - v, v)
+        return t[:, 0] + u * (t[:, 1] - t[:, 0]) + v * (t[:, 2] - t[:, 0])
+
+    def generate_training_samples(self, n: int, uniform_only: bool = False
+                                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """(positions (n,3), signed distances (n,)); reference 4/8-3/8-1/8
+        mix with logistic perturbations."""
+        if uniform_only:
+            pos = self._np_rng.rand(n, 3).astype(np.float32) \
+                * (self.aabb_max - self.aabb_min) + self.aabb_min
+            d = self.bvh.signed_distance(pos, self.mesh_sdf_mode,
+                                         tuple(self._np_rng.rand(2)))
+            return pos, d
+
+        n_base = n // 8
+        n_exact = n_base * 4
+        n_offset = n_base * 3
+        n_uniform = n - n_exact - n_offset
+
+        surf = self.sample_surface(n_exact + n_offset).astype(np.float32)
+        exact = surf[:n_exact]
+        stddev = self.bounding_radius / 1024.0 * self.surface_offset_scale
+        # logistic-distributed perturbation (generate_random_logistic)
+        u = np.clip(self._np_rng.rand(n_offset, 3), 1e-7, 1 - 1e-7)
+        perturb = (stddev * np.log(u / (1 - u))).astype(np.float32)
+        offset = surf[n_exact:] + perturb
+        uniform = self._np_rng.rand(n_uniform, 3).astype(np.float32) \
+            * (self.aabb_max - self.aabb_min) + self.aabb_min
+
+        labeled = np.concatenate([offset, uniform])
+        d = self.bvh.signed_distance(labeled, self.mesh_sdf_mode,
+                                     tuple(self._np_rng.rand(2)))
+        positions = np.concatenate([exact, labeled])
+        distances = np.concatenate([np.zeros(n_exact, np.float32), d])
+        return positions, distances
+
+    # training-data injection point (override_sdf_training_data,
+    # testbed.h:608 — used by parity tests)
+    _override_data: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    def override_training_data(self, positions: np.ndarray,
+                               distances: np.ndarray) -> None:
+        self._override_data = (np.asarray(positions, np.float32),
+                               np.asarray(distances, np.float32))
+
+    # ------------------------------------------------------------------
+    def train(self, n_steps: int, batch_size: int = 1 << 18) -> float:
+        for _ in range(n_steps):
+            if self._override_data is not None:
+                pos, dist = self._override_data
+                perm = self._np_rng.permutation(len(pos))[:batch_size]
+                pos, dist = pos[perm], dist[perm]
+            else:
+                pos, dist = self.generate_training_samples(batch_size)
+            self.state, loss = self.trainer.training_step(
+                self.state, jnp.asarray(pos), jnp.asarray(dist)[:, None])
+            self.training_step += 1
+        self.loss_scalar = float(loss)
+        return self.loss_scalar
+
+    # ------------------------------------------------------------------
+    # rendering
+    # ------------------------------------------------------------------
+    def distance(self, params, pos: jax.Array) -> jax.Array:
+        return self.model.apply(params, pos)[..., 0]
+
+    @partial(jax.jit, static_argnums=(0, 4, 5))
+    def _sphere_trace(self, params, origins, dirs, n_iters: int = 96,
+                      use_gt: bool = False):
+        """Vectorized sphere tracing; masked lanes, fixed trip count."""
+        aabb_min = jnp.asarray(self.aabb_min)
+        aabb_max = jnp.asarray(self.aabb_max)
+
+        from ..nerf.march import aabb_contains, ray_intersect_aabb
+
+        tmin, tmax = ray_intersect_aabb(origins, dirs, aabb_min, aabb_max)
+        tmin = jnp.maximum(tmin, 0.0)
+        alive0 = tmax >= tmin
+        pos0 = origins + (tmin[:, None] + 1e-4) * dirs
+
+        def body(carry, _):
+            pos, alive, hit = carry
+            d = self.distance(params, pos) - self.zero_offset
+            step = d * self.distance_scale
+            new_pos = pos + step[:, None] * dirs
+            inside = aabb_contains(new_pos, aabb_min, aabb_max)
+            # stop rule (advance_pos_kernel_sdf :207): converged when the
+            # step is no longer meaningfully larger than max distance
+            converged = ~((step > self.maximum_distance)
+                          & (jnp.abs(step / 2) > 3 * self.maximum_distance))
+            new_hit = hit | (alive & converged)
+            new_alive = alive & ~converged & inside
+            pos = jnp.where(alive[:, None], new_pos, pos)
+            return (pos, new_alive, new_hit), None
+
+        (pos, alive, hit), _ = jax.lax.scan(
+            body, (pos0, alive0, jnp.zeros_like(alive0)), None,
+            length=n_iters)
+        return pos, hit
+
+    def normals(self, params, pos: jax.Array,
+                finite_differences: bool = False,
+                eps: float = 1e-3) -> jax.Array:
+        if finite_differences:
+            offs = jnp.eye(3) * eps
+            d_plus = jnp.stack([self.distance(params, pos + offs[i])
+                                for i in range(3)], -1)
+            d_minus = jnp.stack([self.distance(params, pos - offs[i])
+                                 for i in range(3)], -1)
+            g = (d_plus - d_minus) / (2 * eps)
+        else:
+            g = jax.grad(lambda p: jnp.sum(self.distance(params, p)))(pos)
+        return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True),
+                               1e-9)
+
+    def render_frame(self, width: int, height: int, camera_matrix,
+                     focal_length: float = None, render_mode: str = "Shade",
+                     light_dir=(0.577, -0.577, 0.577),
+                     background_color=(1.0, 1.0, 1.0),
+                     use_gt: bool = False) -> np.ndarray:
+        """Sphere-traced frame (H, W, 4) linear float32."""
+        from ..nerf.render import camera_rays_for_frame
+
+        fl = focal_length or width * 1.1
+        origins, dirs = camera_rays_for_frame(
+            width, height, (fl, fl), np.asarray(camera_matrix, np.float32))
+
+        if use_gt:
+            t, idx = self.bvh.ray_trace(np.asarray(origins),
+                                        np.asarray(dirs))
+            hit = idx >= 0
+            pos = np.asarray(origins) + t[:, None] * np.asarray(dirs)
+            n = np.zeros_like(pos)
+            normals_all = self.bvh.triangle_normals()
+            n[hit] = normals_all[idx[hit]]
+            pos_j, hit_j, n_j = (jnp.asarray(pos), jnp.asarray(hit),
+                                 jnp.asarray(n))
+        else:
+            params = self.trainer.inference_params(self.state)
+            pos_j, hit_j = self._sphere_trace(params, origins, dirs)
+            n_j = self.normals(params, pos_j)
+
+        if render_mode == "Normals":
+            rgb = n_j * 0.5 + 0.5
+        elif render_mode == "Depth":
+            depth = jnp.linalg.norm(pos_j - origins, axis=-1, keepdims=True)
+            rgb = jnp.repeat(depth, 3, -1)
+        elif render_mode == "Positions":
+            rgb = pos_j
+        else:
+            L = jnp.asarray(light_dir, jnp.float32)
+            L = L / jnp.linalg.norm(L)
+            V = -dirs
+            rgb = evaluate_shading(
+                jnp.asarray(self.brdf.basecolor, jnp.float32),
+                jnp.asarray(self.brdf.ambientcolor, jnp.float32),
+                jnp.ones(3), self.brdf, L, V, n_j)
+
+        bg = jnp.asarray(background_color, jnp.float32)
+        rgb = jnp.where(hit_j[:, None], rgb, bg)
+        rgba = jnp.concatenate(
+            [rgb, hit_j[:, None].astype(jnp.float32)], -1)
+        return np.asarray(rgba).reshape(height, width, 4)
+
+    # ------------------------------------------------------------------
+    def calculate_iou(self, n_samples: int = 128 * 128 * 128,
+                      scale_existing: float = 0.0) -> float:
+        """MC intersection-over-union of model vs GT sign
+        (calculate_iou, testbed_sdf.cu:1363; compare_signs_kernel :472)."""
+        pos, gt_d = self.generate_training_samples(n_samples,
+                                                   uniform_only=True)
+        params = self.trainer.inference_params(self.state)
+        chunk = 1 << 18
+        pred_signs = []
+        for i in range(0, len(pos), chunk):
+            d = self.distance(params, jnp.asarray(pos[i:i + chunk]))
+            pred_signs.append(np.asarray(d) < self.zero_offset)
+        pred_inside = np.concatenate(pred_signs)
+        gt_inside = gt_d < 0
+        intersection = np.sum(pred_inside & gt_inside)
+        union = np.sum(pred_inside | gt_inside)
+        return float(intersection) / max(float(union), 1.0)
+
+    # ------------------------------------------------------------------
+    def save_snapshot(self, path: str) -> None:
+        from ..data.snapshot import save_snapshot
+
+        save_snapshot(path, {
+            "mode": self.mode.value,
+            "config": self.config,
+            "trainer": self.state,
+            "training_step": self.training_step,
+            "mesh_scale": self.mesh_scale,
+            "mesh_offset": self.mesh_offset,
+        })
+
+    def load_snapshot_state(self, snapshot: Dict[str, Any]) -> None:
+        self.state = jax.tree_util.tree_map(jnp.asarray, snapshot["trainer"])
+        self.training_step = int(snapshot.get("training_step", 0))
