@@ -66,37 +66,129 @@ class SampleBatch(NamedTuple):
     n_samples: jax.Array     # () total valid samples (<= S)
 
 
-def generate_rays(key: jax.Array, data: NerfTrainingData, n_rays: int,
-                  aabb_min, aabb_max, cone_angle: float, lens_mode: int,
-                  snap_to_pixel_centers: bool = False) -> RayBatch:
-    """One ray per lane from a random (image, pixel)."""
-    k_img, k_uv, k_mb, k_t = jax.random.split(key, 4)
+def rotvec_matrix(r: jax.Array) -> jax.Array:
+    """(..., 3) axis-angle -> (..., 3, 3) rotation, differentiable AT ZERO.
+
+    Uses the unnormalized Rodrigues form R = I + a K + b K^2 with
+    a = sin(t)/t, b = (1-cos(t))/t^2 and Taylor branches near t=0, so the
+    gradient is finite at r = 0 (a naive norm() has a NaN gradient there
+    — camera-pose offsets start at exactly zero)."""
+    rx, ry, rz = r[..., 0], r[..., 1], r[..., 2]
+    zero = jnp.zeros_like(rx)
+    K = jnp.stack([
+        jnp.stack([zero, -rz, ry], -1),
+        jnp.stack([rz, zero, -rx], -1),
+        jnp.stack([-ry, rx, zero], -1)], -2)
+    t2 = jnp.sum(r * r, axis=-1)[..., None, None]
+    small = t2 < 1e-8
+    safe_t2 = jnp.where(small, 1.0, t2)
+    t = jnp.sqrt(safe_t2)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / safe_t2)
+    eye = jnp.broadcast_to(jnp.eye(3), K.shape)
+    return eye + a * K + b * (K @ K)
+
+
+def build_rays(data: NerfTrainingData, img_idx: jax.Array, uv: jax.Array,
+               motionblur_time: jax.Array, lens_mode: int,
+               cam: Optional[Dict[str, jax.Array]] = None):
+    """uv+image -> (origins, dirs_normalized, valid); DIFFERENTIABLE in the
+    per-image camera offsets `cam` = {"pos" (N,3) translation offsets,
+    "rot" (N,3) axis-angle offsets, "focal" (2,) log-ish focal offset}.
+
+    This is the differentiable half of generate_training_samples_nerf's
+    ray setup; camera-gradient training chain-rules through it (the
+    reference instead hand-derives dL/d(cam) in
+    compute_cam_gradient_train_nerf, testbed_nerf.cu:1163-1270)."""
+    w, h = data.resolution
+    xform = xform_with_rolling_shutter(
+        data.xforms_start[img_idx], data.xforms_end[img_idx],
+        data.rolling_shutter[img_idx], uv, motionblur_time)
+    focal = data.focal_lengths[img_idx]
+    if cam is not None:
+        rot = rotvec_matrix(cam["rot"][img_idx])           # (R, 3, 3)
+        new_rot = jnp.einsum("...ij,...jk->...ik", rot, xform[..., :3, :3])
+        new_t = (xform[..., :3, 3] + cam["pos"][img_idx])[..., None]
+        xform = jnp.concatenate([new_rot, new_t], axis=-1)
+        focal = focal * (1.0 + cam["focal"][None, :])
+
+    origins, dirs_un, ray_ok = uv_to_ray(
+        uv, (w, h), focal, xform, screen_center=(0.5, 0.5),
+        lens_mode=lens_mode, lens_params=data.lens_params[img_idx])
+    dirs = dirs_un / jnp.linalg.norm(dirs_un, axis=-1, keepdims=True)
+    return origins, dirs, ray_ok
+
+
+def sample_rays(key: jax.Array, data: NerfTrainingData, n_rays: int,
+                snap_to_pixel_centers: bool = False,
+                error_cdfs: Optional[Dict[str, jax.Array]] = None):
+    """Pick (img_idx, uv, motionblur_time) per lane — uniform, or error-map
+    importance sampled when CDFs are provided (image_idx +
+    nerf_random_image_pos_training, nerf_device.cuh:500-598: half the
+    sample mass stays uniform, half follows the error CDFs)."""
+    k_img, k_uv, k_mb, k_mix = jax.random.split(key, 4)
     n_images = data.n_images
     w, h = data.resolution
 
-    img_idx = jax.random.randint(k_img, (n_rays,), 0, n_images)
-    uv = jax.random.uniform(k_uv, (n_rays, 2))
+    if error_cdfs is None:
+        img_idx = jax.random.randint(k_img, (n_rays,), 0, n_images)
+        uv = jax.random.uniform(k_uv, (n_rays, 2))
+    else:
+        u_img = jax.random.uniform(k_img, (n_rays,))
+        img_uniform = (u_img * n_images).astype(jnp.int32) % n_images
+        img_cdf = jnp.searchsorted(error_cdfs["cdf_img"],
+                                   u_img).astype(jnp.int32)
+        use_cdf = jax.random.uniform(k_mix, (n_rays,)) >= 0.5
+        img_idx = jnp.clip(jnp.where(use_cdf, img_cdf, img_uniform),
+                           0, n_images - 1)
+
+        # 2D CDF pixel pick: row via cdf_y[img], column via
+        # cdf_x_cond_y[img, row]; half the mass stays uniform
+        ch, cw = error_cdfs["cdf_y"].shape[1], \
+            error_cdfs["cdf_x_cond_y"].shape[2]
+        u2 = jax.random.uniform(k_uv, (n_rays, 2))
+        u_mix = jax.random.uniform(jax.random.fold_in(k_mix, 1),
+                                   (n_rays, 2))
+        row = jax.vmap(jnp.searchsorted)(error_cdfs["cdf_y"][img_idx],
+                                         u2[:, 1])
+        row = jnp.clip(row, 0, ch - 1)
+        col = jax.vmap(jnp.searchsorted)(
+            error_cdfs["cdf_x_cond_y"][img_idx, row], u2[:, 0])
+        col = jnp.clip(col, 0, cw - 1)
+        jitter = jax.random.uniform(jax.random.fold_in(k_uv, 1),
+                                    (n_rays, 2))
+        uv_cdf = jnp.stack([(col + jitter[:, 0]) / cw,
+                            (row + jitter[:, 1]) / ch], -1)
+        uv = jnp.where((u_mix < 0.5), u_mix * 2.0, uv_cdf)
+
     if snap_to_pixel_centers:
         res = jnp.asarray([w, h], jnp.float32)
         uv = (jnp.floor(uv * res) + 0.5) / res
+    motionblur_time = jax.random.uniform(k_mb, (n_rays,))
+    return img_idx, uv, motionblur_time
+
+
+def generate_rays(key: jax.Array, data: NerfTrainingData, n_rays: int,
+                  aabb_min, aabb_max, cone_angle: float, lens_mode: int,
+                  snap_to_pixel_centers: bool = False,
+                  cam: Optional[Dict[str, jax.Array]] = None,
+                  error_cdfs: Optional[Dict[str, jax.Array]] = None
+                  ) -> RayBatch:
+    """One ray per lane from a random (image, pixel)."""
+    k_pick, k_t = jax.random.split(key)
+    w, h = data.resolution
+    img_idx, uv, motionblur_time = sample_rays(
+        k_pick, data, n_rays, snap_to_pixel_centers, error_cdfs)
 
     px = jnp.stack([(uv[:, 0] * w).astype(jnp.int32),
                     (uv[:, 1] * h).astype(jnp.int32)], axis=-1)
     rgba = read_rgba(data.pixels, img_idx, px)
     valid = rgba[:, 0] >= 0.0  # hot-pink mask → skip lane
 
-    motionblur_time = jax.random.uniform(k_mb, (n_rays,))
-    xform = xform_with_rolling_shutter(
-        data.xforms_start[img_idx], data.xforms_end[img_idx],
-        data.rolling_shutter[img_idx], uv, motionblur_time)
-
-    origins, dirs_un, ray_ok = uv_to_ray(
-        uv, (w, h), data.focal_lengths[img_idx], xform,
-        screen_center=(0.5, 0.5), lens_mode=lens_mode,
-        lens_params=data.lens_params[img_idx])
+    origins, dirs, ray_ok = build_rays(data, img_idx, uv, motionblur_time,
+                                       lens_mode, cam)
     valid = valid & ray_ok
 
-    dirs = dirs_un / jnp.linalg.norm(dirs_un, axis=-1, keepdims=True)
     tmin, tmax = ray_intersect_aabb(origins, dirs, aabb_min, aabb_max)
     tmin = jnp.maximum(tmin, 0.0)
     valid = valid & (tmax >= tmin)
@@ -104,7 +196,8 @@ def generate_rays(key: jax.Array, data: NerfTrainingData, n_rays: int,
     # jitter start by a random fraction of one step (testbed_nerf.cu:781)
     t_start = advance_n_steps(tmin, cone_angle,
                               jax.random.uniform(k_t, (n_rays,)))
-    return RayBatch(origins, dirs, t_start, img_idx, uv, rgba, valid)
+    return RayBatch(origins, dirs, t_start, img_idx, uv, rgba, valid), \
+        motionblur_time
 
 
 def march_rays(rays: RayBatch, bitfield: jax.Array, aabb_min, aabb_max,

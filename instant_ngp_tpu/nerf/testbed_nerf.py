@@ -95,6 +95,38 @@ class NerfTestbed:
         # (all cells for the first 256 steps, then 1/4 + 1/4)
         self.density_samples_override = None
 
+        # camera optimization (nerf.h:88-110 defaults)
+        self.optimize_extrinsics = False
+        self.optimize_focal_length = False
+        self.optimize_exposure = False
+        self.extrinsic_learning_rate = 1e-3
+        self.extrinsic_l2_reg = 1e-4
+        self.intrinsic_l2_reg = 1e-4
+        self.exposure_l2_reg = 0.0
+        self.n_steps_between_cam_updates = 16
+        n_img = self.data.n_images
+        self.cam_pos_offset = np.zeros((n_img, 3), np.float32)
+        self.cam_rot_offset = np.zeros((n_img, 3), np.float32)
+        self.cam_focal_offset = np.zeros(2, np.float32)
+        from ..ops.host_adam import HostAdam, RotationHostAdam
+
+        self._cam_pos_adam = HostAdam(1e-4)
+        self._cam_rot_adam = RotationHostAdam(1e-4)
+        self._focal_adam = HostAdam(1e-5)
+        self._exposure_adam = HostAdam(1e-3)
+        self._cam_grad_accum = None
+        self._exposure_grad_accum = None
+        self._n_steps_since_cam_update = 0
+
+        # error-map importance sampling (nerf.h:113-121)
+        self.use_error_map_sampling = bool(
+            dataset.wants_importance_sampling)
+        self.n_steps_between_error_map_updates = 128
+        self._error_map = None
+        self._error_cdfs = None
+        self._n_steps_since_error_update = 0
+        self._error_map_res = (0, 0)
+
         self._visible_cells = None
         self._train_fns = {}     # (n_rays, k) -> jitted step
         self._density_fns = {}
@@ -114,19 +146,29 @@ class NerfTestbed:
             density_activation=self.scene.density_activation,
             loss_type=self.loss_type,
             near_distance=self.scene.near_distance,
+            optimize_camera=(self.optimize_extrinsics
+                             or self.optimize_focal_length),
+            optimize_exposure=self.optimize_exposure,
+            use_error_map=self.use_error_map_sampling,
+            error_map_res=self._error_map_res,
         )
 
     def _get_train_fn(self, n_rays: int, max_k: int):
-        key = (n_rays, max_k)
+        key = (n_rays, max_k, self.optimize_extrinsics,
+               self.optimize_focal_length, self.optimize_exposure,
+               self._error_cdfs is not None, self._error_map_res)
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)
             aabb_min = jnp.asarray(self.scene.aabb_min)
             aabb_max = jnp.asarray(self.scene.aabb_max)
 
-            def step(state, data, bitfield, mean_density, rng):
+            def step(state, data, bitfield, mean_density, rng, cam,
+                     error_cdfs, error_map):
                 return nerf_train_step(self.model, self.optimizer, cfg,
                                        aabb_min, aabb_max, state, data,
-                                       bitfield, mean_density, rng)
+                                       bitfield, mean_density, rng,
+                                       cam=cam, error_cdfs=error_cdfs,
+                                       error_map=error_map)
 
             self._train_fns[key] = jax.jit(step, donate_argnums=(0,))
         return self._train_fns[key]
@@ -193,19 +235,134 @@ class NerfTestbed:
         self.density_grid_ema_step += 1
 
     # ------------------------------------------------------------------
+    def _cam_dict(self):
+        if not (self.optimize_extrinsics or self.optimize_focal_length
+                or self.optimize_exposure):
+            return None
+        return {"pos": jnp.asarray(self.cam_pos_offset),
+                "rot": jnp.asarray(self.cam_rot_offset),
+                "focal": jnp.asarray(self.cam_focal_offset)}
+
+    def _maybe_init_error_map(self):
+        if not self.use_error_map_sampling:
+            return
+        if self._error_map is None or self._n_steps_since_error_update == 0:
+            n_samples_per_image = (self.n_steps_between_error_map_updates
+                                   * self.rays_per_batch
+                                   // max(self.data.n_images, 1))
+            w0, h0 = self.data.resolution
+            side = int(math.sqrt(math.sqrt(max(n_samples_per_image, 1)))
+                       * 3.5)
+            side = max((side + 7) // 8 * 8, 8)  # bucket: bound retraces
+            res = (min(side, w0), min(side, h0))
+            if res != self._error_map_res or self._error_map is None:
+                self._error_map_res = res
+                self._error_map = jnp.zeros(
+                    (self.data.n_images, res[0] * res[1]), jnp.float32)
+
+    def _rebuild_error_cdfs(self):
+        """construct_cdf_2d/1d + image CDF (testbed_nerf.cu:1493-1554,
+        2552-2567): minimum probability floor, normalized prefix sums."""
+        cw, ch = self._error_map_res
+        em = np.asarray(self._error_map).reshape(
+            self.data.n_images, ch, cw).astype(np.float64)
+        em = em + 1e-8  # MIN_PMF floor
+        # conditional CDF over x given y, per row
+        cdf_x = np.cumsum(em, axis=2)
+        row_sum = cdf_x[:, :, -1:]
+        cdf_x = cdf_x / row_sum
+        # marginal over rows
+        cdf_y = np.cumsum(row_sum[:, :, 0], axis=1)
+        img_sum = cdf_y[:, -1:]
+        cdf_y = cdf_y / img_sum
+        cdf_img = np.cumsum(img_sum[:, 0])
+        cdf_img = cdf_img / cdf_img[-1]
+        self._error_cdfs = {
+            "cdf_x_cond_y": jnp.asarray(cdf_x, jnp.float32),
+            "cdf_y": jnp.asarray(cdf_y, jnp.float32),
+            "cdf_img": jnp.asarray(cdf_img, jnp.float32),
+        }
+        self._error_map = jnp.zeros_like(self._error_map)
+
+    def _apply_camera_updates(self):
+        """Host Adam on accumulated camera gradients every
+        n_steps_between_cam_updates steps (testbed_nerf.cu:2601-2680)."""
+        if self._cam_grad_accum is None and self._exposure_grad_accum is None:
+            return
+        n = max(self.data.n_images, 1)
+        scale = n / float(self.n_steps_between_cam_updates)
+        if self._cam_grad_accum is not None:
+            g_pos = np.asarray(self._cam_grad_accum["pos"]) * scale
+            g_rot = np.asarray(self._cam_grad_accum["rot"]) * scale
+            g_focal = np.asarray(self._cam_grad_accum["focal"]) * scale
+            if self.optimize_extrinsics:
+                g_pos += self.cam_pos_offset * self.extrinsic_l2_reg
+                g_rot += self.cam_rot_offset * self.extrinsic_l2_reg
+                lr = self.extrinsic_learning_rate * math.pow(
+                    0.33, self._cam_pos_adam.t / 128)
+                self._cam_pos_adam.learning_rate = lr
+                self._cam_rot_adam.learning_rate = lr
+                self.cam_pos_offset = self._cam_pos_adam.step(
+                    self.cam_pos_offset, g_pos)
+                self.cam_rot_offset = self._cam_rot_adam.step(
+                    self.cam_rot_offset, g_rot)
+            if self.optimize_focal_length:
+                g_focal += self.cam_focal_offset * self.intrinsic_l2_reg
+                self.cam_focal_offset = self._focal_adam.step(
+                    self.cam_focal_offset, g_focal)
+        if self._exposure_grad_accum is not None and self.optimize_exposure:
+            g = np.asarray(self._exposure_grad_accum) * scale
+            exposures = np.asarray(self.data.exposures)
+            g += exposures * self.exposure_l2_reg
+            new_exp = self._exposure_adam.step(exposures, g)
+            new_exp -= new_exp.mean(0, keepdims=True)  # renormalize
+            self.data.exposures = jnp.asarray(new_exp)
+        self._cam_grad_accum = None
+        self._exposure_grad_accum = None
+
     def train(self, n_steps: int) -> float:
         """n_steps full training iterations (prep + step + adapt)."""
         total_loss = 0.0
         for _ in range(n_steps):
             self.training_prep()
+            self._maybe_init_error_map()
             n_rays = self._bucket(self.rays_per_batch)
             max_k = self._bucket_k(n_rays)
             fn = self._get_train_fn(n_rays, max_k)
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                      self.training_step)
             self.state, stats = fn(self.state, self.data, self.bitfield,
-                                   self.mean_density, rng)
+                                   self.mean_density, rng,
+                                   self._cam_dict(), self._error_cdfs,
+                                   self._error_map)
             self.training_step += 1
+
+            if "cam_gradient" in stats:
+                g = jax.tree_util.tree_map(np.asarray,
+                                           stats["cam_gradient"])
+                if self._cam_grad_accum is None:
+                    self._cam_grad_accum = g
+                else:
+                    self._cam_grad_accum = jax.tree_util.tree_map(
+                        np.add, self._cam_grad_accum, g)
+            if "exposure_gradient" in stats:
+                g = np.asarray(stats["exposure_gradient"])
+                self._exposure_grad_accum = (
+                    g if self._exposure_grad_accum is None
+                    else self._exposure_grad_accum + g)
+            self._n_steps_since_cam_update += 1
+            if self._n_steps_since_cam_update >= \
+                    self.n_steps_between_cam_updates:
+                self._apply_camera_updates()
+                self._n_steps_since_cam_update = 0
+
+            if "error_map" in stats:
+                self._error_map = stats["error_map"]
+                self._n_steps_since_error_update += 1
+                if self._n_steps_since_error_update >= \
+                        self.n_steps_between_error_map_updates:
+                    self._rebuild_error_cdfs()
+                    self._n_steps_since_error_update = 0
 
             measured = int(stats["measured_batch_size"])
             measured_pre = int(stats["measured_batch_size_before_compaction"])
@@ -343,10 +500,24 @@ class NerfTestbed:
         height = height or h0
         fl = np.asarray(self.data.focal_lengths[img_idx]) \
             * np.array([width / w0, height / h0])
-        cam = np.asarray(self.data.xforms_start[img_idx])
+        cam = self.effective_xform(img_idx)
         return self.render_frame(width, height, cam, fl, spp=spp,
                                  min_transmittance=min_transmittance,
                                  background_color=background_color)
+
+    def effective_xform(self, img_idx: int) -> np.ndarray:
+        """Training camera with any optimized extrinsic offsets applied
+        (update_transforms equivalent)."""
+        cam = np.asarray(self.data.xforms_start[img_idx])
+        if self.optimize_extrinsics:
+            from ..ops.host_adam import rotvec_to_matrix
+
+            R = rotvec_to_matrix(self.cam_rot_offset[img_idx])
+            cam = np.concatenate(
+                [R @ cam[:3, :3],
+                 (cam[:3, 3] + self.cam_pos_offset[img_idx])[:, None]],
+                axis=1).astype(np.float32)
+        return cam
 
     def eval_psnr(self, img_idx: int, spp: int = 1,
                   downscale: int = 1) -> float:

@@ -183,21 +183,38 @@ class NerfTrainStepConfig(NamedTuple):
     snap_to_pixel_centers: bool = False
     depth_supervision_lambda: float = 0.0
     max_level_rand_training: bool = False
+    optimize_camera: bool = False      # extrinsics+focal gradient outputs
+    optimize_exposure: bool = False
+    use_error_map: bool = False        # importance sampling + accumulation
+    error_map_res: Any = (0, 0)        # (W_c, H_c) of the error map
 
 
 def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
                     aabb_min, aabb_max,
                     state: Dict[str, Any], data: NerfTrainingData,
                     bitfield: jax.Array, mean_density: jax.Array,
-                    key: jax.Array
+                    key: jax.Array,
+                    cam: Optional[Dict[str, jax.Array]] = None,
+                    error_cdfs: Optional[Dict[str, jax.Array]] = None,
+                    error_map: Optional[jax.Array] = None,
                     ) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
     """One full NeRF training step (pure function; jit with model/optimizer/
-    cfg closed over statically)."""
+    cfg closed over statically).
+
+    cam: optional per-image camera offsets {"pos","rot","focal"}; when
+    cfg.optimize_camera, their gradients come back in stats (host Adam
+    applies them every n_steps_between_cam_updates, mirroring
+    testbed_nerf.cu:2601-2680). Exposure gradients likewise.
+    error_map: (n_images, Hc*Wc) running error accumulator; per-ray loss
+    deposits bilinearly (compute_loss_kernel :1028-1054)."""
     k_rays, k_bg, k_grad = jax.random.split(key, 3)
 
-    rays = generate_rays(k_rays, data, cfg.n_rays, aabb_min, aabb_max,
-                         cfg.cone_angle, cfg.lens_mode,
-                         cfg.snap_to_pixel_centers)
+    from .sampler import build_rays
+
+    rays, motionblur_time = generate_rays(
+        k_rays, data, cfg.n_rays, aabb_min, aabb_max, cfg.cone_angle,
+        cfg.lens_mode, cfg.snap_to_pixel_centers, cam=cam,
+        error_cdfs=error_cdfs if cfg.use_error_map else None)
     ts, dts, emits = march_rays(rays, bitfield, aabb_min, aabb_max,
                                 cfg.cone_angle, cfg.max_mip, cfg.n_march,
                                 cfg.max_samples_per_ray)
@@ -215,8 +232,6 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
         # per-sample latent: gather via the sample's source ray's image
         extra_flat = data.extra_dims[rays.img_idx[samples.ray_id]]
 
-    exposure = data.exposures[rays.img_idx]
-
     depth_target = None
     if cfg.depth_supervision_lambda > 0 and data.depths is not None:
         w, h = data.resolution
@@ -226,15 +241,33 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
         y = jnp.clip(px[..., 1], 0, h - 1)
         depth_target = data.depths[rays.img_idx, y, x]
 
-    def loss_fn(params):
-        raw_flat = model.apply(params, samples.positions, samples.dirs,
-                               extra_flat)
+    base_exposure = data.exposures
+
+    def loss_fn(params, cam_vars, exposures):
+        if cfg.optimize_camera and cam_vars is not None:
+            # rebuild rays differentiably in the camera offsets; sample
+            # distances t stay fixed (same linearization the reference's
+            # analytic camera backward uses)
+            origins, dirs, _ = build_rays(data, rays.img_idx, rays.uv,
+                                          motionblur_time, cfg.lens_mode,
+                                          cam_vars)
+            o_s = origins[samples.ray_id]
+            d_s = dirs[samples.ray_id]
+            pos_world = o_s + samples.t_mid[:, None] * d_s
+            from .march import warp_direction, warp_position
+
+            positions = warp_position(pos_world, aabb_min, aabb_max)
+            dirs_warped = warp_direction(d_s)
+        else:
+            positions, dirs_warped = samples.positions, samples.dirs
+        raw_flat = model.apply(params, positions, dirs_warped, extra_flat)
         raw_padded, mask = pad_samples_per_ray(samples, raw_flat,
                                                cfg.max_samples_per_ray)
         dt_padded, _ = pad_samples_per_ray(samples, samples.dts,
                                            cfg.max_samples_per_ray)
         t_padded, _ = pad_samples_per_ray(samples, samples.t_mid,
                                           cfg.max_samples_per_ray)
+        exposure = exposures[rays.img_idx]
         result = composite_loss(
             raw_padded, mask, dt_padded, t_padded, rays, bg, exposure,
             cfg.rgb_activation, cfg.density_activation, cfg.loss_type,
@@ -242,8 +275,17 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
             depth_target, cfg.depth_supervision_lambda)
         return result.loss_for_grad, result
 
-    (loss_val, result), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state["params"])
+    diff_args = [state["params"],
+                 cam if cfg.optimize_camera else None,
+                 base_exposure]
+    argnums = [0]
+    if cfg.optimize_camera:
+        argnums.append(1)
+    if cfg.optimize_exposure:
+        argnums.append(2)
+    (loss_val, result), grad_tuple = jax.value_and_grad(
+        loss_fn, argnums=tuple(argnums), has_aux=True)(*diff_args)
+    grads = grad_tuple[0]
 
     from ..ops.trainer import default_l2_mask
 
@@ -259,4 +301,32 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
         "measured_batch_size_before_compaction": samples.n_samples,
         "n_rays": jnp.sum(rays.valid.astype(jnp.int32)),
     }
+    gi = 1
+    if cfg.optimize_camera:
+        stats["cam_gradient"] = grad_tuple[gi]
+        gi += 1
+    if cfg.optimize_exposure:
+        stats["exposure_gradient"] = grad_tuple[gi]
+
+    if cfg.use_error_map and error_map is not None:
+        # bilinear deposit of per-ray mean loss into the error map
+        cw, ch = cfg.error_map_res
+        pos = jnp.clip(rays.uv * jnp.asarray([cw, ch], jnp.float32) - 0.5,
+                       0.0, jnp.asarray([cw - 1.001, ch - 1.001]))
+        p0 = pos.astype(jnp.int32)
+        w = pos - p0
+        val = result.per_ray_loss
+        flat_img = rays.img_idx * (cw * ch)
+
+        def deposit(acc, dx, dy, weight):
+            idx = flat_img + (p0[:, 1] + dy) * cw + (p0[:, 0] + dx)
+            return acc.at[idx].add(weight * val)
+
+        em = error_map.reshape(-1)
+        em = deposit(em, 0, 0, (1 - w[:, 0]) * (1 - w[:, 1]))
+        em = deposit(em, 1, 0, w[:, 0] * (1 - w[:, 1]))
+        em = deposit(em, 0, 1, (1 - w[:, 0]) * w[:, 1])
+        em = deposit(em, 1, 1, w[:, 0] * w[:, 1])
+        stats["error_map"] = em.reshape(error_map.shape)
+
     return new_state, stats
