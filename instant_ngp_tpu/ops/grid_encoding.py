@@ -101,6 +101,16 @@ class GridEncoding(Encoding):
             *([np.arange(2)] * self.n_dims), indexing="ij"),
             axis=-1).reshape(-1, self.n_dims).astype(np.int32)
 
+        # one fused gather over all levels (TPU: a single large gather
+        # beats L small ones); per-level dense strides (L, d)
+        strides = np.ones((self.n_levels, self.n_dims), np.int64)
+        for lvl in range(self.n_levels):
+            for dim in range(1, self.n_dims):
+                strides[lvl, dim] = strides[lvl, dim - 1] \
+                    * self._resolutions[lvl]
+        self._strides = strides
+        self.fused = True
+
     @classmethod
     def from_config(cls, n_dims: int, config: Dict[str, Any], dtype=jnp.float32
                     ) -> "GridEncoding":
@@ -178,6 +188,9 @@ class GridEncoding(Encoding):
             for dim in range(1, self.n_dims):
                 stride *= res
                 idx = idx + coords[..., dim] * stride
+            if self.grid_type == "Tiled":
+                # capped tiled levels wrap the linear index into the table
+                idx = idx % jnp.int32(int(self._sizes[level]))
 
         cw = jnp.where(corners[None, :, :] == 1, w[:, None, :], 1.0 - w[:, None, :])
         weights = jnp.prod(cw, axis=-1)                          # (N, C)
@@ -190,6 +203,8 @@ class GridEncoding(Encoding):
         max_level: optional scalar; levels with index > max_level produce
         zeros (reference set_max_level_gpu coarse-to-fine masking).
         """
+        if self.fused:
+            return self._apply_fused(params, x, max_level)
         lead = x.shape[:-1]
         xf = x.reshape(-1, self.n_dims).astype(jnp.float32)
         n = xf.shape[0]
@@ -206,3 +221,63 @@ class GridEncoding(Encoding):
             outs.append(out)
         result = jnp.concatenate(outs, axis=-1).astype(self.dtype)
         return result.reshape(*lead, self.n_output_dims)
+
+    def _apply_fused(self, params: jax.Array, x: jax.Array,
+                     max_level: Optional[jax.Array] = None) -> jax.Array:
+        """All levels in ONE gather from the flat table (TPU-first: a
+        single (N, L*2^d) gather + VPU lerps; no per-level kernels)."""
+        lead = x.shape[:-1]
+        xf = x.reshape(-1, self.n_dims).astype(jnp.float32)
+        n = xf.shape[0]
+        d = self.n_dims
+        f = self.n_features_per_level
+
+        scales = jnp.asarray(self._scales, jnp.float32)          # (L,)
+        pos = xf[:, None, :] * scales[None, :, None] + 0.5       # (N, L, d)
+        pos0 = jnp.floor(pos)
+        w = pos - pos0
+        if self.interpolation == "Smoothstep":
+            w = w * w * (3.0 - 2.0 * w)
+        elif self.interpolation == "Nearest":
+            w = jnp.round(w)
+        pos0 = pos0.astype(jnp.int32)
+
+        corners = jnp.asarray(self._corners)                     # (C, d)
+        coords = pos0[:, :, None, :] + corners[None, None, :, :]  # (N,L,C,d)
+
+        res = jnp.asarray(self._resolutions, jnp.int32)          # (L,)
+        sizes = jnp.asarray(self._sizes, jnp.uint32)
+        if self.grid_type == "Tiled":
+            dense_coords = jnp.remainder(coords, res[None, :, None, None])
+        else:
+            dense_coords = jnp.clip(coords, 0,
+                                    (res - 1)[None, :, None, None])
+        strides = jnp.asarray(self._strides.astype(np.uint32))
+        dense_idx = jnp.sum(
+            dense_coords.astype(jnp.uint32) * strides[None, :, None, :],
+            axis=-1)
+        # dense indices can exceed the capped level size only on hashed
+        # levels, where they're replaced anyway
+        primes = jnp.asarray(_PRIMES[:d])
+        h = coords.astype(jnp.uint32) * primes[None, None, None, :]
+        hash_idx = h[..., 0]
+        for dim in range(1, d):
+            hash_idx = hash_idx ^ h[..., dim]
+        hash_idx = hash_idx % sizes[None, :, None]
+        hashed = jnp.asarray(self._hashed)                       # (L,)
+        idx = jnp.where(hashed[None, :, None], hash_idx,
+                        dense_idx % sizes[None, :, None])
+        flat = (jnp.asarray(self._offsets.astype(np.uint32))
+                [None, :, None] + idx).astype(jnp.int32)         # (N, L, C)
+
+        table = params.reshape(-1, f)
+        feats = table[flat]                                      # (N,L,C,F)
+        cw = jnp.where(corners[None, None, :, :] == 1,
+                       w[:, :, None, :], 1.0 - w[:, :, None, :])
+        weights = jnp.prod(cw, axis=-1)                          # (N, L, C)
+        out = jnp.sum(feats * weights[..., None], axis=2)        # (N, L, F)
+        if max_level is not None:
+            lvl_idx = jnp.arange(self.n_levels)
+            mask = (jnp.asarray(max_level) >= lvl_idx).astype(out.dtype)
+            out = out * mask[None, :, None]
+        return out.reshape(*lead, self.n_output_dims).astype(self.dtype)

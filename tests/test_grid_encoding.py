@@ -114,3 +114,40 @@ def test_desired_resolution_derivation():
         "desired_resolution": 2048})
     b = enc.per_level_scale
     np.testing.assert_allclose(16 * b ** 15, 2048, rtol=1e-6)
+
+
+def test_fused_matches_per_level_loop():
+    import jax, jax.numpy as jnp
+    from instant_ngp_tpu.ops.grid_encoding import GridEncoding
+
+    for gtype in ("Hash", "Dense", "Tiled"):
+        enc = GridEncoding(n_dims=3, n_levels=6, n_features_per_level=2,
+                           log2_hashmap_size=11, base_resolution=4,
+                           per_level_scale=1.6, grid_type=gtype)
+        params = enc.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+        fused = enc.apply(params, x)
+        enc.fused = False
+        loop = enc.apply(params, x)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(loop),
+                                   rtol=1e-5, atol=1e-7)
+        # gradients agree too (scatter-add path)
+        enc.fused = True
+        g1 = jax.grad(lambda p: jnp.sum(enc.apply(p, x) ** 2))(params)
+        enc.fused = False
+        g2 = jax.grad(lambda p: jnp.sum(enc.apply(p, x) ** 2))(params)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_fused_max_level_masking():
+    import jax, jax.numpy as jnp
+    from instant_ngp_tpu.ops.grid_encoding import GridEncoding
+
+    enc = GridEncoding(n_dims=2, n_levels=4, n_features_per_level=2,
+                       log2_hashmap_size=10, base_resolution=4)
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 2))
+    out = np.asarray(enc.apply(params, x, max_level=1))
+    assert np.abs(out[:, :4]).max() > 0
+    np.testing.assert_allclose(out[:, 4:], 0.0)
