@@ -160,6 +160,7 @@ def uv_to_ray(uv: jax.Array, resolution, focal_length: jax.Array,
               near_distance: float = 0.0,
               aperture_size: float = 0.0, focus_z: float = 1.0,
               aperture_samples: Optional[jax.Array] = None,
+              distortion_map: Optional[jax.Array] = None,
               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """uv (..., 2) → (origin (...,3), dir (...,3) UNnormalized, valid).
 
@@ -187,6 +188,14 @@ def uv_to_ray(uv: jax.Array, resolution, focal_length: jax.Array,
             x, y = iterative_lens_undistortion(
                 lens_params, x, y, opencv_fisheye_lens_distortion_delta)
         dir = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+
+    if distortion_map is not None:
+        # trained lens-distortion offsets on the image plane (uv_to_ray's
+        # `dir.xy() += distortion.at_lerp(uv)`; testbed.cu:3781-3792)
+        from .ops.trainable_buffer import bilerp_2d
+
+        delta = bilerp_2d(distortion_map, uv)
+        dir = dir.at[..., :2].add(delta)
 
     rot = camera_matrix[..., :3, :3]
     dir = jnp.einsum("...ij,...j->...i", rot, dir)

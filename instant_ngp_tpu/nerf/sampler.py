@@ -91,7 +91,8 @@ def rotvec_matrix(r: jax.Array) -> jax.Array:
 
 def build_rays(data: NerfTrainingData, img_idx: jax.Array, uv: jax.Array,
                motionblur_time: jax.Array, lens_mode: int,
-               cam: Optional[Dict[str, jax.Array]] = None):
+               cam: Optional[Dict[str, jax.Array]] = None,
+               distortion_map: Optional[jax.Array] = None):
     """uv+image -> (origins, dirs_normalized, valid); DIFFERENTIABLE in the
     per-image camera offsets `cam` = {"pos" (N,3) translation offsets,
     "rot" (N,3) axis-angle offsets, "focal" (2,) log-ish focal offset}.
@@ -114,7 +115,8 @@ def build_rays(data: NerfTrainingData, img_idx: jax.Array, uv: jax.Array,
 
     origins, dirs_un, ray_ok = uv_to_ray(
         uv, (w, h), focal, xform, screen_center=(0.5, 0.5),
-        lens_mode=lens_mode, lens_params=data.lens_params[img_idx])
+        lens_mode=lens_mode, lens_params=data.lens_params[img_idx],
+        distortion_map=distortion_map)
     dirs = dirs_un / jnp.linalg.norm(dirs_un, axis=-1, keepdims=True)
     return origins, dirs, ray_ok
 
@@ -172,7 +174,8 @@ def generate_rays(key: jax.Array, data: NerfTrainingData, n_rays: int,
                   aabb_min, aabb_max, cone_angle: float, lens_mode: int,
                   snap_to_pixel_centers: bool = False,
                   cam: Optional[Dict[str, jax.Array]] = None,
-                  error_cdfs: Optional[Dict[str, jax.Array]] = None
+                  error_cdfs: Optional[Dict[str, jax.Array]] = None,
+                  distortion_map: Optional[jax.Array] = None
                   ) -> RayBatch:
     """One ray per lane from a random (image, pixel)."""
     k_pick, k_t = jax.random.split(key)
@@ -186,7 +189,7 @@ def generate_rays(key: jax.Array, data: NerfTrainingData, n_rays: int,
     valid = rgba[:, 0] >= 0.0  # hot-pink mask → skip lane
 
     origins, dirs, ray_ok = build_rays(data, img_idx, uv, motionblur_time,
-                                       lens_mode, cam)
+                                       lens_mode, cam, distortion_map)
     valid = valid & ray_ok
 
     tmin, tmax = ray_intersect_aabb(origins, dirs, aabb_min, aabb_max)

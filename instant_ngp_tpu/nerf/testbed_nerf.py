@@ -118,6 +118,23 @@ class NerfTestbed:
         self._exposure_grad_accum = None
         self._n_steps_since_cam_update = 0
 
+        # trained envmap + lens-distortion map (reset_network wiring:
+        # envmap testbed.cu:3850-3865, distortion :3781-3792)
+        from ..ops.trainable_buffer import TrainableBuffer
+
+        self.train_envmap = False
+        self.optimize_distortion = False
+        env_cfg = network_config.get("envmap", {})
+        dist_cfg = network_config.get("distortion_map", {})
+        env_res = (8, 16)  # (H, W); dataset-provided envmaps override
+        self.envmap = TrainableBuffer(
+            (env_res[0], env_res[1], 4),
+            env_cfg.get("optimizer", network_config["optimizer"]))
+        dist_res = dist_cfg.get("resolution", [32, 32])
+        self.distortion_map = TrainableBuffer(
+            (dist_res[1], dist_res[0], 2),
+            dist_cfg.get("optimizer", network_config["optimizer"]))
+
         # error-map importance sampling (nerf.h:113-121)
         self.use_error_map_sampling = bool(
             dataset.wants_importance_sampling)
@@ -156,6 +173,7 @@ class NerfTestbed:
     def _get_train_fn(self, n_rays: int, max_k: int):
         key = (n_rays, max_k, self.optimize_extrinsics,
                self.optimize_focal_length, self.optimize_exposure,
+               self.train_envmap, self.optimize_distortion,
                self._error_cdfs is not None, self._error_map_res)
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)
@@ -163,12 +181,14 @@ class NerfTestbed:
             aabb_max = jnp.asarray(self.scene.aabb_max)
 
             def step(state, data, bitfield, mean_density, rng, cam,
-                     error_cdfs, error_map):
+                     error_cdfs, error_map, envmap, distortion):
                 return nerf_train_step(self.model, self.optimizer, cfg,
                                        aabb_min, aabb_max, state, data,
                                        bitfield, mean_density, rng,
                                        cam=cam, error_cdfs=error_cdfs,
-                                       error_map=error_map)
+                                       error_map=error_map,
+                                       envmap=envmap,
+                                       distortion=distortion)
 
             self._train_fns[key] = jax.jit(step, donate_argnums=(0,))
         return self._train_fns[key]
@@ -331,11 +351,18 @@ class NerfTestbed:
             fn = self._get_train_fn(n_rays, max_k)
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                      self.training_step)
-            self.state, stats = fn(self.state, self.data, self.bitfield,
-                                   self.mean_density, rng,
-                                   self._cam_dict(), self._error_cdfs,
-                                   self._error_map)
+            self.state, stats = fn(
+                self.state, self.data, self.bitfield, self.mean_density,
+                rng, self._cam_dict(), self._error_cdfs, self._error_map,
+                self.envmap.params if self.train_envmap else None,
+                self.distortion_map.params if self.optimize_distortion
+                else None)
             self.training_step += 1
+
+            if "envmap_gradient" in stats:
+                self.envmap.step(stats["envmap_gradient"])
+            if "distortion_gradient" in stats:
+                self.distortion_map.step(stats["distortion_gradient"])
 
             if "cam_gradient" in stats:
                 g = jax.tree_util.tree_map(np.asarray,

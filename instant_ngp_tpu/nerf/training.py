@@ -197,6 +197,8 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
                     cam: Optional[Dict[str, jax.Array]] = None,
                     error_cdfs: Optional[Dict[str, jax.Array]] = None,
                     error_map: Optional[jax.Array] = None,
+                    envmap: Optional[jax.Array] = None,
+                    distortion: Optional[jax.Array] = None,
                     ) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
     """One full NeRF training step (pure function; jit with model/optimizer/
     cfg closed over statically).
@@ -214,7 +216,8 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
     rays, motionblur_time = generate_rays(
         k_rays, data, cfg.n_rays, aabb_min, aabb_max, cfg.cone_angle,
         cfg.lens_mode, cfg.snap_to_pixel_centers, cam=cam,
-        error_cdfs=error_cdfs if cfg.use_error_map else None)
+        error_cdfs=error_cdfs if cfg.use_error_map else None,
+        distortion_map=distortion)
     ts, dts, emits = march_rays(rays, bitfield, aabb_min, aabb_max,
                                 cfg.cone_angle, cfg.max_mip, cfg.n_march,
                                 cfg.max_samples_per_ray)
@@ -243,14 +246,28 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
 
     base_exposure = data.exposures
 
-    def loss_fn(params, cam_vars, exposures):
-        if cfg.optimize_camera and cam_vars is not None:
-            # rebuild rays differentiably in the camera offsets; sample
-            # distances t stay fixed (same linearization the reference's
-            # analytic camera backward uses)
-            origins, dirs, _ = build_rays(data, rays.img_idx, rays.uv,
-                                          motionblur_time, cfg.lens_mode,
-                                          cam_vars)
+    # every differentiable auxiliary variable rides in one dict so a
+    # single extra argnum covers cam / exposure / envmap / distortion
+    aux_vars: Dict[str, Any] = {}
+    if cfg.optimize_camera and cam is not None:
+        aux_vars["cam"] = cam
+    if cfg.optimize_exposure:
+        aux_vars["exposure"] = base_exposure
+    if envmap is not None:
+        aux_vars["envmap"] = envmap
+    if distortion is not None:
+        aux_vars["distortion"] = distortion
+
+    def loss_fn(params, aux):
+        rebuild = ("cam" in aux) or ("distortion" in aux)
+        if rebuild:
+            # rebuild rays differentiably in the camera offsets and/or
+            # distortion map; sample distances t stay fixed (same
+            # linearization the reference's analytic backward uses)
+            origins, dirs, _ = build_rays(
+                data, rays.img_idx, rays.uv, motionblur_time,
+                cfg.lens_mode, aux.get("cam"),
+                distortion_map=aux.get("distortion"))
             o_s = origins[samples.ray_id]
             d_s = dirs[samples.ray_id]
             pos_world = o_s + samples.t_mid[:, None] * d_s
@@ -267,25 +284,25 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
                                            cfg.max_samples_per_ray)
         t_padded, _ = pad_samples_per_ray(samples, samples.t_mid,
                                           cfg.max_samples_per_ray)
-        exposure = exposures[rays.img_idx]
+        exposure = aux.get("exposure", base_exposure)[rays.img_idx]
+
+        bg_used = bg
+        if "envmap" in aux:
+            # composite the envmap behind the random background
+            # (compute_loss_kernel :960-966)
+            from ..ops.trainable_buffer import read_envmap
+
+            env = read_envmap(aux["envmap"], rays.dirs)
+            bg_used = env[..., :3] + bg * (1.0 - env[..., 3:4])
         result = composite_loss(
-            raw_padded, mask, dt_padded, t_padded, rays, bg, exposure,
+            raw_padded, mask, dt_padded, t_padded, rays, bg_used, exposure,
             cfg.rgb_activation, cfg.density_activation, cfg.loss_type,
             mean_density, cfg.near_distance, cfg.train_in_linear_colors,
             depth_target, cfg.depth_supervision_lambda)
         return result.loss_for_grad, result
 
-    diff_args = [state["params"],
-                 cam if cfg.optimize_camera else None,
-                 base_exposure]
-    argnums = [0]
-    if cfg.optimize_camera:
-        argnums.append(1)
-    if cfg.optimize_exposure:
-        argnums.append(2)
-    (loss_val, result), grad_tuple = jax.value_and_grad(
-        loss_fn, argnums=tuple(argnums), has_aux=True)(*diff_args)
-    grads = grad_tuple[0]
+    (loss_val, result), (grads, aux_grads) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(state["params"], aux_vars)
 
     from ..ops.trainer import default_l2_mask
 
@@ -301,12 +318,14 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
         "measured_batch_size_before_compaction": samples.n_samples,
         "n_rays": jnp.sum(rays.valid.astype(jnp.int32)),
     }
-    gi = 1
-    if cfg.optimize_camera:
-        stats["cam_gradient"] = grad_tuple[gi]
-        gi += 1
-    if cfg.optimize_exposure:
-        stats["exposure_gradient"] = grad_tuple[gi]
+    if "cam" in aux_grads:
+        stats["cam_gradient"] = aux_grads["cam"]
+    if "exposure" in aux_grads:
+        stats["exposure_gradient"] = aux_grads["exposure"]
+    if "envmap" in aux_grads:
+        stats["envmap_gradient"] = aux_grads["envmap"]
+    if "distortion" in aux_grads:
+        stats["distortion_gradient"] = aux_grads["distortion"]
 
     if cfg.use_error_map and error_map is not None:
         # bilinear deposit of per-ray mean loss into the error map

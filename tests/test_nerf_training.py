@@ -174,3 +174,21 @@ def test_error_map_importance_sampling_builds_cdfs():
     assert (np.diff(cdf_img) >= 0).all()
     tb.train(3)  # training continues with importance sampling on
     assert np.isfinite(tb.loss_scalar)
+
+
+def test_envmap_and_distortion_training():
+    tb = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
+    tb.target_batch_size = 1 << 12
+    tb.rays_per_batch = 256
+    tb.n_march = 96
+    tb.max_samples_per_ray = 32
+    tb.density_samples_override = 1 << 14
+    tb.train_envmap = True
+    tb.optimize_distortion = True
+    env0 = np.asarray(tb.envmap.params).copy()
+    dist0 = np.asarray(tb.distortion_map.params).copy()
+    tb.train(6)
+    assert np.isfinite(tb.loss_scalar)
+    assert np.abs(np.asarray(tb.envmap.params) - env0).max() > 0
+    # distortion gradients exist (may be small on a pinhole scene)
+    assert np.isfinite(np.asarray(tb.distortion_map.params)).all()
