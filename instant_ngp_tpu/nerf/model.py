@@ -108,6 +108,46 @@ class NerfNetwork:
         rgb = self.rgb_net.apply(params["rgb_net"], rgb_in)
         return jnp.concatenate([rgb, density_out[..., :1]], axis=-1)
 
+    def apply_components(self, params, pos_comps, dir_comps,
+                         extra: Optional[jax.Array] = None,
+                         max_level: Optional[jax.Array] = None):
+        """Structure-of-arrays forward: pos/dir as lists of 3 (N,) arrays.
+
+        Returns (rgb_raw (N, 3-as-channels...), density_raw (N,)) — i.e. a
+        tuple (r, g, b, sigma) of (N,) arrays, avoiding any big (N, 3/4)
+        result buffer (TPU tile padding would inflate it 32-42x)."""
+        if hasattr(self.pos_encoding, "apply_components"):
+            feats = self.pos_encoding.apply_components(
+                params["pos_encoding"], pos_comps, max_level=max_level)
+        else:
+            feats = self.pos_encoding.apply(
+                params["pos_encoding"], jnp.stack(pos_comps, -1),
+                max_level=max_level)
+        density_out = self.density_net.apply(params["density_net"], feats)
+
+        dir_enc = self.dir_encoding
+        # the shipped dir encodings are SH or Composite(SH, Identity)
+        from ..ops.encodings import CompositeEncoding
+
+        if isinstance(dir_enc, CompositeEncoding) and self.n_extra_dims:
+            sh = dir_enc.nested[0]
+            sh_out = sh.apply_components(None, dir_comps) \
+                if hasattr(sh, "apply_components") else \
+                sh.apply(None, jnp.stack(dir_comps, -1))
+            rest = dir_enc.nested[1].apply(None, extra)
+            dir_feats = jnp.concatenate([sh_out, rest], axis=-1)
+        elif hasattr(dir_enc, "apply_components"):
+            dir_feats = dir_enc.apply_components(params["dir_encoding"],
+                                                 dir_comps)
+        else:
+            dir_feats = dir_enc.apply(params["dir_encoding"],
+                                      jnp.stack(dir_comps, -1))
+        rgb_in = jnp.concatenate(
+            [density_out.astype(jnp.float32),
+             dir_feats.astype(jnp.float32)], axis=-1)
+        rgb = self.rgb_net.apply(params["rgb_net"], rgb_in)
+        return (rgb[..., 0], rgb[..., 1], rgb[..., 2], density_out[..., 0])
+
 
 @dataclasses.dataclass
 class NerfActivations:

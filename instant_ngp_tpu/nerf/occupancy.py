@@ -46,20 +46,24 @@ def init_bitfield() -> jax.Array:
     return jnp.zeros(N_BITFIELD_BYTES, jnp.uint8)
 
 
-def cell_positions(indices: jax.Array, key: jax.Array) -> jax.Array:
-    """Jittered world position inside each grid cell.
+def cell_positions(indices: jax.Array, key: jax.Array):
+    """Jittered world position inside each grid cell, as a tuple of 3
+    (N,) component arrays (TPU layout: no (N, 3) tile padding).
 
     indices: (N,) flat grid indices (level * N_CELLS + morton).
     Mirrors generate_grid_samples_nerf_nonuniform's position math
     (testbed_nerf.cu:206-212)."""
     level = indices // NERF_GRID_N_CELLS
     pos_idx = indices % NERF_GRID_N_CELLS
-    x, y, z = morton3d_coords(pos_idx)
-    xyz = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
-    jitter = jax.random.uniform(key, xyz.shape, jnp.float32)
-    pos = (xyz + jitter) / NERF_GRIDSIZE - 0.5
-    pos = pos * jnp.exp2(level.astype(jnp.float32))[:, None] + 0.5
-    return pos
+    comps = morton3d_coords(pos_idx)
+    mip_scale = jnp.exp2(level.astype(jnp.float32))
+    keys = jax.random.split(key, 3)
+    out = []
+    for k, c in zip(keys, comps):
+        jitter = jax.random.uniform(k, c.shape, jnp.float32)
+        p = (c.astype(jnp.float32) + jitter) / NERF_GRIDSIZE - 0.5
+        out.append(p * mip_scale + 0.5)
+    return tuple(out)
 
 
 def sample_cells(key: jax.Array, density_grid: jax.Array, step: jax.Array,

@@ -59,17 +59,21 @@ def make_sharded_train_step(model, optimizer, cfg: NerfTrainStepConfig,
         exposure = data.exposures[rays.img_idx]
 
         def loss_fn(params):
-            raw_flat = model.apply(params, samples.positions, samples.dirs)
-            raw_padded, mask = pad_samples_per_ray(
-                samples, raw_flat, cfg.max_samples_per_ray)
+            raw = model.apply_components(params, samples.positions,
+                                         samples.dirs)
+            padded = []
+            for c in raw:
+                pc, mask = pad_samples_per_ray(samples, c,
+                                               cfg.max_samples_per_ray)
+                padded.append(pc)
             dt_padded, _ = pad_samples_per_ray(
                 samples, samples.dts, cfg.max_samples_per_ray)
             t_padded, _ = pad_samples_per_ray(
                 samples, samples.t_mid, cfg.max_samples_per_ray)
             result = composite_loss(
-                raw_padded, mask, dt_padded, t_padded, rays, bg, exposure,
-                cfg.rgb_activation, cfg.density_activation, cfg.loss_type,
-                mean_density, cfg.near_distance,
+                tuple(padded), mask, dt_padded, t_padded, rays, bg,
+                exposure, cfg.rgb_activation, cfg.density_activation,
+                cfg.loss_type, mean_density, cfg.near_distance,
                 cfg.train_in_linear_colors)
             return result.loss_for_grad, result
 

@@ -73,35 +73,45 @@ def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
             extra_dims[None], (cfg.sample_capacity, extra_dims.shape[-1]))
 
     if cfg.render_mode == "Normals":
-        # dL/dpos of raw density via autodiff (input_gradient equivalent)
-        def raw_density(p):
-            return jnp.sum(model.density(params, p))
+        # d(density)/dpos via autodiff (input_gradient equivalent),
+        # component-separated like everything else
+        def raw_density(px, py, pz):
+            if hasattr(model.pos_encoding, "apply_components"):
+                feats = model.pos_encoding.apply_components(
+                    params["pos_encoding"], [px, py, pz])
+            else:
+                feats = model.pos_encoding.apply(
+                    params["pos_encoding"], jnp.stack([px, py, pz], -1))
+            return jnp.sum(model.density_net.apply(
+                params["density_net"], feats)[..., 0])
 
-        grad = jax.grad(raw_density)(samples.positions)
-        normals = -grad / jnp.maximum(
-            jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
-        raw_flat = model.apply(params, samples.positions, samples.dirs,
-                               extra_flat)
-        # color by normal, keep density for compositing
-        raw_flat = jnp.concatenate([normals, raw_flat[..., 3:4]], axis=-1)
+        g = jax.grad(raw_density, argnums=(0, 1, 2))(*samples.positions)
+        norm = jnp.sqrt(g[0] ** 2 + g[1] ** 2 + g[2] ** 2)
+        normals = [-gi / jnp.maximum(norm, 1e-9) for gi in g]
+        _, _, _, sig = model.apply_components(
+            params, samples.positions, samples.dirs, extra_flat)
+        raw_ch = (*normals, sig)
         shade_is_raw = True
     else:
-        raw_flat = model.apply(params, samples.positions, samples.dirs,
-                               extra_flat)
+        raw_ch = model.apply_components(params, samples.positions,
+                                        samples.dirs, extra_flat)
         shade_is_raw = False
 
-    raw_padded, mask = pad_samples_per_ray(samples, raw_flat,
-                                           cfg.max_samples_per_ray)
+    padded = []
+    for c in raw_ch:
+        pc, mask = pad_samples_per_ray(samples, c, cfg.max_samples_per_ray)
+        padded.append(pc)
     dt_padded, _ = pad_samples_per_ray(samples, samples.dts,
                                        cfg.max_samples_per_ray)
     t_padded, _ = pad_samples_per_ray(samples, samples.t_mid,
                                       cfg.max_samples_per_ray)
 
     if shade_is_raw:
-        rgb = raw_padded[..., :3] * 0.5 + 0.5
+        rgb_ch = [c * 0.5 + 0.5 for c in padded[:3]]
     else:
-        rgb = network_to_rgb(raw_padded[..., :3], cfg.rgb_activation)
-    sigma = network_to_density(raw_padded[..., 3], cfg.density_activation)
+        rgb_ch = [network_to_rgb(c, cfg.rgb_activation)
+                  for c in padded[:3]]
+    sigma = network_to_density(padded[3], cfg.density_activation)
     dt = unwarp_dt(dt_padded)
     alpha = jnp.where(mask, 1.0 - jnp.exp(-sigma * dt), 0.0)
 
@@ -113,25 +123,26 @@ def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
     weight = jnp.where(alive, alpha * T_before, 0.0)
 
     if cfg.render_mode == "Positions":
-        pos_padded, _ = pad_samples_per_ray(samples, samples.positions,
-                                            cfg.max_samples_per_ray)
-        rgb = pos_padded
+        pos_padded = [pad_samples_per_ray(samples, p,
+                                          cfg.max_samples_per_ray)[0]
+                      for p in samples.positions]
+        rgb_ch = pos_padded
     elif cfg.render_mode == "Depth":
-        rgb = jnp.repeat(t_padded[..., None], 3, axis=-1)
-    elif cfg.render_mode == "Cost":
-        rgb = jnp.ones_like(rgb)  # weight below becomes per-sample count
+        rgb_ch = [t_padded] * 3
 
-    rgb_ray = jnp.sum(weight[..., None] * rgb, axis=1)
+    ray_ch = [jnp.sum(weight * c, axis=1) for c in rgb_ch]
     opacity = jnp.sum(weight, axis=1)
     depth_ray = jnp.sum(weight * t_padded, axis=1)
     # opacity-normalized depth looks wrong at silhouettes; reference keeps
     # the weighted sum, matching composite_kernel_nerf
-    rgb_ray = rgb_ray + (1.0 - opacity)[..., None] * bg_color
+    ray_ch = [c + (1.0 - opacity) * bg_color[:, k]
+              for k, c in enumerate(ray_ch)]
 
     if cfg.render_mode == "Cost":
-        n_steps = jnp.sum(mask, axis=1).astype(jnp.float32)
-        rgb_ray = jnp.repeat(n_steps[..., None] / 128.0, 3, axis=-1)
+        n_steps = jnp.sum(mask, axis=1).astype(jnp.float32) / 128.0
+        ray_ch = [n_steps] * 3
 
+    rgb_ray = jnp.stack(ray_ch, axis=-1)
     return {
         "rgb": jnp.where(valid[..., None], rgb_ray, bg_color),
         "alpha": jnp.where(valid, opacity, 0.0),

@@ -206,16 +206,43 @@ class NerfTestbed:
             max_cascade = self.scene.max_cascade
             density_activation = self.scene.density_activation
 
+            span = aabb_max - aabb_min
+
             def update(params, density_grid, rng, decay):
-                from .march import warp_position
                 from .model import network_to_density
 
                 k_cells, k_pos = jax.random.split(rng)
                 idx = sample_cells(k_cells, density_grid, 0,
                                    n_uniform, n_nonuniform, n_cascades)
-                pos = cell_positions(idx, k_pos)
-                warped = warp_position(pos, aabb_min, aabb_max)
-                raw = model.density(params, warped)
+                comps = cell_positions(idx, k_pos)
+                warped = tuple((c - aabb_min[k]) / span[k]
+                               for k, c in enumerate(comps))
+
+                # chunked density eval (lax.map) bounds the (N, L*C)
+                # encoding intermediates to ~chunk x 128 lanes
+                n_total = idx.shape[0]
+                chunk = 1 << 19
+                n_chunks = max((n_total + chunk - 1) // chunk, 1)
+                pad = n_chunks * chunk - n_total
+                stacked = jnp.stack([
+                    jnp.pad(c, (0, pad)).reshape(n_chunks, chunk)
+                    for c in warped])                    # (3, nc, chunk)
+
+                def density_chunk(cols):
+                    if hasattr(model.pos_encoding, "apply_components"):
+                        feats = model.pos_encoding.apply_components(
+                            params["pos_encoding"],
+                            [cols[0], cols[1], cols[2]])
+                    else:
+                        feats = model.pos_encoding.apply(
+                            params["pos_encoding"],
+                            jnp.stack([cols[0], cols[1], cols[2]], -1))
+                    return model.density_net.apply(
+                        params["density_net"], feats)[..., 0]
+
+                raw = jax.lax.map(density_chunk,
+                                  jnp.transpose(stacked, (1, 0, 2)))
+                raw = raw.reshape(-1)[:n_total]
                 dens = network_to_density(raw, density_activation)
                 new_grid = splat_and_ema(density_grid, idx, dens, decay)
                 bitfield = update_bitfield(new_grid, max_cascade)

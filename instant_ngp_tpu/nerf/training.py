@@ -55,11 +55,11 @@ class CompositeResult(NamedTuple):
     loss_for_grad: jax.Array      # scalar; autodiff target
     per_ray_loss: jax.Array       # (R,) reported loss per lane
     measured_compacted: jax.Array  # () samples surviving T-cutoff
-    rgb_rays: jax.Array           # (R, 3) composited color
+    rgb_rays: Any                 # 3 x (R,) composited color channels
     depth_rays: jax.Array         # (R,)
 
 
-def composite_loss(raw_padded: jax.Array, mask: jax.Array,
+def composite_loss(raw_channels, mask: jax.Array,
                    dt_padded: jax.Array, t_padded: jax.Array,
                    rays: RayBatch, bg_color: jax.Array,
                    exposure: jax.Array,
@@ -71,15 +71,19 @@ def composite_loss(raw_padded: jax.Array, mask: jax.Array,
                    depth_supervision_lambda: float = 0.0,
                    depth_loss_type: LossType = LossType.L1,
                    ) -> CompositeResult:
-    """raw_padded (R, K, 4) pre-activation outputs; mask (R, K) valid.
+    """raw_channels: 4 pre-activation (R, K) arrays (r, g, b, sigma) —
+    channel-separated so no (R, K, 4) buffer tile-pads on TPU.
+    mask (R, K) valid samples.
 
     bg_color: (R, 3) LINEAR-space random/fixed background (reference
     applies srgb_to_linear to the random color; caller does that).
     exposure: (R, 3) log2-exposure of each ray's source image."""
-    n_lanes = raw_padded.shape[0]
+    raw_r, raw_g, raw_b, raw_sigma = raw_channels
+    n_lanes = raw_r.shape[0]
 
-    rgb = network_to_rgb(raw_padded[..., :3], rgb_activation)    # (R,K,3)
-    sigma = network_to_density(raw_padded[..., 3], density_activation)
+    rgb_ch = [network_to_rgb(c, rgb_activation)
+              for c in (raw_r, raw_g, raw_b)]                   # 3x (R,K)
+    sigma = network_to_density(raw_sigma, density_activation)
     dt = unwarp_dt(dt_padded)
     alpha = jnp.where(mask, 1.0 - jnp.exp(-sigma * dt), 0.0)
 
@@ -94,38 +98,44 @@ def composite_loss(raw_padded: jax.Array, mask: jax.Array,
     alive = mask & (T_before >= EPSILON)
     weight = jnp.where(alive, alpha * T_before, 0.0)
 
-    rgb_ray = jnp.sum(weight[..., None] * rgb, axis=1)           # (R, 3)
+    ray_ch = [jnp.sum(weight * c, axis=1) for c in rgb_ch]      # 3x (R,)
     depth_ray = jnp.sum(weight * t_padded, axis=1)
-    T_final = 1.0 - jnp.sum(weight, axis=1)                      # residual
+    T_final = 1.0 - jnp.sum(weight, axis=1)                     # residual
 
     # background + target color (compute_loss_kernel :957-996). In sRGB
     # mode (default) the network's composited color lives in sRGB space,
     # so the background must be sRGB-warped before compositing.
-    exposure_scale = jnp.exp2(exposure)
-    texsamp = rays.rgba                                          # premult linear
+    exp_ch = [jnp.exp2(exposure[:, k]) for k in range(3)]
+    tex_ch = [rays.rgba[:, k] for k in range(3)]                # premult
+    a = rays.rgba[:, 3]
+    bg_ch = [bg_color[:, k] for k in range(3)]
     if train_in_linear_colors:
-        bg_net = bg_color
-        rgbtarget = exposure_scale * texsamp[:, :3] \
-            + (1.0 - texsamp[:, 3:4]) * bg_color
+        bg_net = bg_ch
+        target_ch = [e * t + (1.0 - a) * b
+                     for e, t, b in zip(exp_ch, tex_ch, bg_ch)]
     else:
-        a = texsamp[:, 3:4]
-        unpre = jnp.where(a > 0, texsamp[:, :3] / jnp.maximum(a, 1e-8), 0.0)
-        bg_net = _linear_to_srgb(bg_color)
-        rgbtarget = jnp.where(
-            a > 0, _linear_to_srgb(exposure_scale * unpre) * a
-            + (1.0 - a) * bg_net, bg_net)
+        bg_net = [_linear_to_srgb(b) for b in bg_ch]
+        safe_a = jnp.maximum(a, 1e-8)
+        target_ch = [
+            jnp.where(a > 0,
+                      _linear_to_srgb(e * jnp.where(a > 0, t / safe_a, 0.0))
+                      * a + (1.0 - a) * bn, bn)
+            for e, t, bn in zip(exp_ch, tex_ch, bg_net)]
 
     # a ray is "finished" if no sample was cut by the epsilon early-out;
     # only finished rays composite the background (:997-1003)
     n_alive = jnp.sum(alive, axis=1)
     n_valid = jnp.sum(mask, axis=1)
     finished = n_alive == n_valid
-    rgb_ray = rgb_ray + jnp.where(finished[..., None],
-                                  T_final[..., None], 0.0) * bg_net
+    bgw = jnp.where(finished, T_final, 0.0)
+    ray_ch = [c + bgw * bn for c, bn in zip(ray_ch, bg_net)]
 
     lane_valid = rays.valid & (n_valid > 0)
-    loss_elem, _ = loss_and_gradient(loss_type, rgbtarget, rgb_ray)
-    per_ray_loss = jnp.where(lane_valid, jnp.mean(loss_elem, axis=-1), 0.0)
+    loss_sum = 0.0
+    for tgt, pred in zip(target_ch, ray_ch):
+        l, _ = loss_and_gradient(loss_type, tgt, pred)
+        loss_sum = loss_sum + l
+    per_ray_loss = jnp.where(lane_valid, loss_sum / 3.0, 0.0)
     loss_main = jnp.sum(per_ray_loss) / n_lanes
 
     # depth supervision (:1013-1015, gradient at :1106)
@@ -139,14 +149,12 @@ def composite_loss(raw_padded: jax.Array, mask: jax.Array,
             jnp.where(has_depth, d_elem, 0.0)) / n_lanes
 
     # ---- regularizers with reference-equal gradients (:1058-1115) ----
-    raw_rgb = raw_padded[..., :3]
-    raw_sigma = raw_padded[..., 3]
     reg = 0.0
     if rgb_activation == "Exponential":
         # grad += max(0, 1e-4 * out): loss term 0.5e-4 * relu(out)^2
-        reg = reg + 1e-4 * 0.5 * jnp.sum(
-            jnp.where(alive[..., None], jnp.maximum(raw_rgb, 0.0) ** 2, 0.0)
-        ) / n_lanes
+        for c in (raw_r, raw_g, raw_b):
+            reg = reg + 1e-4 * 0.5 * jnp.sum(
+                jnp.where(alive, jnp.maximum(c, 0.0) ** 2, 0.0)) / n_lanes
     # L1 density reg when the scene is still mostly empty: grad is
     # -1e-4 for raw < 0  →  loss term 1e-4 * relu(-raw)
     l1_on = mean_density < NERF_MIN_OPTICAL_THICKNESS
@@ -161,7 +169,7 @@ def composite_loss(raw_padded: jax.Array, mask: jax.Array,
 
     loss_for_grad = loss_main + loss_depth + reg
     return CompositeResult(loss_for_grad, per_ray_loss,
-                           jnp.sum(n_alive), rgb_ray, depth_ray)
+                           jnp.sum(n_alive), ray_ch, depth_ray)
 
 
 class NerfTrainStepConfig(NamedTuple):
@@ -258,6 +266,8 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
     if distortion is not None:
         aux_vars["distortion"] = distortion
 
+    span = aabb_max - aabb_min
+
     def loss_fn(params, aux):
         rebuild = ("cam" in aux) or ("distortion" in aux)
         if rebuild:
@@ -268,18 +278,22 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
                 data, rays.img_idx, rays.uv, motionblur_time,
                 cfg.lens_mode, aux.get("cam"),
                 distortion_map=aux.get("distortion"))
-            o_s = origins[samples.ray_id]
-            d_s = dirs[samples.ray_id]
-            pos_world = o_s + samples.t_mid[:, None] * d_s
-            from .march import warp_direction, warp_position
-
-            positions = warp_position(pos_world, aabb_min, aabb_max)
-            dirs_warped = warp_direction(d_s)
+            positions = tuple(
+                (origins[samples.ray_id, k]
+                 + samples.t_mid * dirs[samples.ray_id, k]
+                 - aabb_min[k]) / span[k]
+                for k in range(3))
+            dirs_warped = tuple(
+                (dirs[samples.ray_id, k] + 1.0) * 0.5 for k in range(3))
         else:
             positions, dirs_warped = samples.positions, samples.dirs
-        raw_flat = model.apply(params, positions, dirs_warped, extra_flat)
-        raw_padded, mask = pad_samples_per_ray(samples, raw_flat,
-                                               cfg.max_samples_per_ray)
+        raw = model.apply_components(params, positions, dirs_warped,
+                                     extra_flat)
+        raw_padded = []
+        for c in raw:
+            pc, mask = pad_samples_per_ray(samples, c,
+                                           cfg.max_samples_per_ray)
+            raw_padded.append(pc)
         dt_padded, _ = pad_samples_per_ray(samples, samples.dts,
                                            cfg.max_samples_per_ray)
         t_padded, _ = pad_samples_per_ray(samples, samples.t_mid,
@@ -295,7 +309,8 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
             env = read_envmap(aux["envmap"], rays.dirs)
             bg_used = env[..., :3] + bg * (1.0 - env[..., 3:4])
         result = composite_loss(
-            raw_padded, mask, dt_padded, t_padded, rays, bg_used, exposure,
+            tuple(raw_padded), mask, dt_padded, t_padded, rays, bg_used,
+            exposure,
             cfg.rgb_activation, cfg.density_activation, cfg.loss_type,
             mean_density, cfg.near_distance, cfg.train_in_linear_colors,
             depth_target, cfg.depth_supervision_lambda)

@@ -76,7 +76,10 @@ class FrequencyEncoding(Encoding):
 # sh_enc (hard-coded polynomial expansion, degrees 1..4 cover all shipped
 # configs: configs/nerf/base.json uses degree 4).
 def _sh_basis(degree: int, d: jax.Array) -> jax.Array:
-    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    return _sh_basis_components(degree, d[..., 0], d[..., 1], d[..., 2])
+
+
+def _sh_basis_components(degree: int, x, y, z) -> jax.Array:
     x2, y2, z2 = x * x, y * y, z * z
     out = [jnp.full_like(x, 0.28209479177387814)]
     if degree >= 2:
@@ -136,6 +139,11 @@ class SphericalHarmonicsEncoding(Encoding):
     def apply(self, params, x, **kwargs):
         d = x * 2.0 - 1.0
         return _sh_basis(self.degree, d)
+
+    def apply_components(self, params, comps, **kwargs):
+        """Component-separated variant (TPU layout: avoids (N, 3) tiles)."""
+        x, y, z = (c * 2.0 - 1.0 for c in comps[:3])
+        return _sh_basis_components(self.degree, x, y, z)
 
 
 def _quartic_cdf(x: jax.Array, inv_radius: float) -> jax.Array:

@@ -222,62 +222,105 @@ class GridEncoding(Encoding):
         result = jnp.concatenate(outs, axis=-1).astype(self.dtype)
         return result.reshape(*lead, self.n_output_dims)
 
+    def _fused_constants(self):
+        """Per-(level, corner) constant vectors of length L*C, cached.
+
+        TPU layout rule: big intermediates must have their LAST dimension
+        near the 128-lane width — a trailing dim of 3 (xyz) or 8 (corners)
+        pads up to 128 and inflates memory 16-42x (observed: a
+        (N, L, 8, 3) coords buffer became 77 GB on fox). So everything is
+        component-separated (x/y/z planes) over one flattened (level,
+        corner) axis of length L*2^d."""
+        if getattr(self, "_fc", None) is not None:
+            return self._fc
+        L, d = self.n_levels, self.n_dims
+        C = 2 ** d
+        rep = lambda a: np.repeat(np.asarray(a), C)              # (L*C,)
+        tile_corner = lambda k: np.tile(self._corners[:, k], L)  # (L*C,)
+        fc = {
+            "scale": rep(self._scales).astype(np.float32),
+            "res": rep(self._resolutions).astype(np.int32),
+            "size": rep(self._sizes).astype(np.uint32),
+            "hashed": rep(self._hashed.astype(np.int32)),
+            "offset": rep(self._offsets).astype(np.uint32),
+            "corner": [tile_corner(k).astype(np.int32) for k in range(d)],
+            "stride": [rep(self._strides[:, k]).astype(np.uint32)
+                       for k in range(d)],
+            # one-hot (L*C, L) reduction matrix: corner sum as one matmul
+            "reduce": np.kron(np.eye(L, dtype=np.float32),
+                              np.ones((C, 1), np.float32)),
+            "level_of": rep(np.arange(L)).astype(np.int32),
+        }
+        self._fc = fc
+        return fc
+
     def _apply_fused(self, params: jax.Array, x: jax.Array,
                      max_level: Optional[jax.Array] = None) -> jax.Array:
-        """All levels in ONE gather from the flat table (TPU-first: a
-        single (N, L*2^d) gather + VPU lerps; no per-level kernels)."""
         lead = x.shape[:-1]
         xf = x.reshape(-1, self.n_dims).astype(jnp.float32)
-        n = xf.shape[0]
+        comps = [xf[:, k] for k in range(self.n_dims)]
+        out = self.apply_components(params, comps, max_level)
+        return out.reshape(*lead, self.n_output_dims)
+
+    def apply_components(self, params: jax.Array, comps,
+                         max_level: Optional[jax.Array] = None) -> jax.Array:
+        """All levels+corners in one flattened (N, L*2^d) lane axis: one
+        gather per feature channel, corner reduction as an MXU matmul.
+
+        `comps`: list of d arrays (N,) — component-separated input keeps
+        every million-row intermediate's trailing dim at L*C (near the
+        128-lane width) instead of 3, which would tile-pad 42x."""
+        n = comps[0].shape[0]
         d = self.n_dims
         f = self.n_features_per_level
+        L = self.n_levels
+        C = 2 ** d
+        fc = self._fused_constants()
 
-        scales = jnp.asarray(self._scales, jnp.float32)          # (L,)
-        pos = xf[:, None, :] * scales[None, :, None] + 0.5       # (N, L, d)
-        pos0 = jnp.floor(pos)
-        w = pos - pos0
-        if self.interpolation == "Smoothstep":
-            w = w * w * (3.0 - 2.0 * w)
-        elif self.interpolation == "Nearest":
-            w = jnp.round(w)
-        pos0 = pos0.astype(jnp.int32)
+        scale = jnp.asarray(fc["scale"])[None, :]                # (1, LC)
+        weight = None
+        idx_hash = None
+        idx_dense = None
+        for k in range(d):
+            pos_k = comps[k].astype(jnp.float32)[:, None] * scale + 0.5
+            pos0_k = jnp.floor(pos_k)
+            w_k = pos_k - pos0_k
+            if self.interpolation == "Smoothstep":
+                w_k = w_k * w_k * (3.0 - 2.0 * w_k)
+            elif self.interpolation == "Nearest":
+                w_k = jnp.round(w_k)
+            coord_k = pos0_k.astype(jnp.int32) \
+                + jnp.asarray(fc["corner"][k])[None, :]
+            res = jnp.asarray(fc["res"])[None, :]
+            if self.grid_type == "Tiled":
+                dense_k = jnp.remainder(coord_k, res)
+            else:
+                dense_k = jnp.clip(coord_k, 0, res - 1)
+            term_dense = dense_k.astype(jnp.uint32) \
+                * jnp.asarray(fc["stride"][k])[None, :]
+            idx_dense = term_dense if idx_dense is None \
+                else idx_dense + term_dense
+            term_hash = coord_k.astype(jnp.uint32) * np.uint32(_PRIMES[k])
+            idx_hash = term_hash if idx_hash is None \
+                else idx_hash ^ term_hash
+            sel = jnp.asarray(fc["corner"][k])[None, :] == 1
+            w_sel = jnp.where(sel, w_k, 1.0 - w_k)
+            weight = w_sel if weight is None else weight * w_sel
 
-        corners = jnp.asarray(self._corners)                     # (C, d)
-        coords = pos0[:, :, None, :] + corners[None, None, :, :]  # (N,L,C,d)
+        size = jnp.asarray(fc["size"])[None, :]
+        hashed = jnp.asarray(fc["hashed"])[None, :]
+        idx = jnp.where(hashed == 1, idx_hash % size, idx_dense % size)
+        entry = (jnp.asarray(fc["offset"])[None, :] + idx).astype(jnp.int32)
 
-        res = jnp.asarray(self._resolutions, jnp.int32)          # (L,)
-        sizes = jnp.asarray(self._sizes, jnp.uint32)
-        if self.grid_type == "Tiled":
-            dense_coords = jnp.remainder(coords, res[None, :, None, None])
-        else:
-            dense_coords = jnp.clip(coords, 0,
-                                    (res - 1)[None, :, None, None])
-        strides = jnp.asarray(self._strides.astype(np.uint32))
-        dense_idx = jnp.sum(
-            dense_coords.astype(jnp.uint32) * strides[None, :, None, :],
-            axis=-1)
-        # dense indices can exceed the capped level size only on hashed
-        # levels, where they're replaced anyway
-        primes = jnp.asarray(_PRIMES[:d])
-        h = coords.astype(jnp.uint32) * primes[None, None, None, :]
-        hash_idx = h[..., 0]
-        for dim in range(1, d):
-            hash_idx = hash_idx ^ h[..., dim]
-        hash_idx = hash_idx % sizes[None, :, None]
-        hashed = jnp.asarray(self._hashed)                       # (L,)
-        idx = jnp.where(hashed[None, :, None], hash_idx,
-                        dense_idx % sizes[None, :, None])
-        flat = (jnp.asarray(self._offsets.astype(np.uint32))
-                [None, :, None] + idx).astype(jnp.int32)         # (N, L, C)
-
-        table = params.reshape(-1, f)
-        feats = table[flat]                                      # (N,L,C,F)
-        cw = jnp.where(corners[None, None, :, :] == 1,
-                       w[:, :, None, :], 1.0 - w[:, :, None, :])
-        weights = jnp.prod(cw, axis=-1)                          # (N, L, C)
-        out = jnp.sum(feats * weights[..., None], axis=2)        # (N, L, F)
         if max_level is not None:
-            lvl_idx = jnp.arange(self.n_levels)
-            mask = (jnp.asarray(max_level) >= lvl_idx).astype(out.dtype)
-            out = out * mask[None, :, None]
-        return out.reshape(*lead, self.n_output_dims).astype(self.dtype)
+            lvl = jnp.asarray(fc["level_of"])[None, :]
+            weight = weight * (jnp.asarray(max_level) >= lvl)
+
+        reduce_m = jnp.asarray(fc["reduce"])                     # (LC, L)
+        outs = []
+        for feat in range(f):
+            vals = params[entry * f + feat]                      # (N, LC)
+            outs.append(jnp.dot(vals * weight, reduce_m,
+                                preferred_element_type=jnp.float32))
+        out = jnp.stack(outs, axis=-1)                           # (N, L, F)
+        return out.reshape(n, self.n_output_dims).astype(self.dtype)

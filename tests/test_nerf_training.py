@@ -129,7 +129,7 @@ def test_sampler_segments_are_consistent():
     np.testing.assert_array_equal(base[1:], (base + count)[:-1])
     assert base[-1] + count[-1] == n
     # all valid sample positions are inside the warp cube
-    pos = np.asarray(s.positions)[:n]
+    pos = np.stack([np.asarray(p) for p in s.positions], -1)[:n]
     assert (pos >= -1e-5).all() and (pos <= 1 + 1e-5).all()
     # ray ids of each segment match
     rid = np.asarray(s.ray_id)
