@@ -1,65 +1,106 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Current headline: image-mode training throughput (samples/s/chip) on the
-reference batch size 2^18. Will switch to NeRF time-to-PSNR on fox once
-the NeRF testbed lands. `vs_baseline` compares against the reference's
-implied operating point: an RTX 3090 running ~10 image-mode steps of 2^18
-samples per second (README "few seconds" convergence ≈ 2.6 M samples/s).
+Headline: NeRF training throughput on the fox capture (samples/s/chip at
+the reference batch size 2^18), the metric BASELINE.md's north star is
+built from. The tunneled TPU in this environment wedges intermittently,
+so every stage runs under a watchdog; if the NeRF path can't complete,
+the benchmark falls back to image-mode throughput so the driver always
+gets a number.
+
+vs_baseline compares against the reference's implied operating point: an
+RTX 3090 sustaining ~50 steps/s at 2^18 samples ("fox in 5 seconds" /
+~256 steps ≈ 13.1 M samples/s).
 """
 
 import json
+import multiprocessing as mp
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+BASELINE_SAMPLES_PER_S = 13.1e6  # RTX 3090 implied (see docstring)
+FOX = "/root/reference/data/nerf/fox/transforms.json"
 
 
-def main():
+def bench_nerf(queue):
+    import jax
+    from instant_ngp_tpu.config import (find_network_config,
+                                        load_network_config)
+    from instant_ngp_tpu.data.nerf_loader import load_nerf
+    from instant_ngp_tpu.nerf.testbed_nerf import NerfTestbed
+
+    ds = load_nerf(FOX)
+    cfg = load_network_config(find_network_config("base.json", mode="nerf"))
+    tb = NerfTestbed(ds, cfg)
+    tb.train(1)            # compiles
+    tb.train(16)           # warm + adapt (may recompile on bucket change)
+    t0 = time.perf_counter()
+    n = 64
+    tb.train(n)
+    dt = time.perf_counter() - t0
+    samples_per_s = n * tb.measured_batch_size / dt
+    queue.put({
+        "metric": "nerf_train_samples_per_s",
+        "value": round(samples_per_s, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
+        "detail": {"steps_per_s": round(n / dt, 3),
+                   "loss": round(tb.loss_scalar, 5),
+                   "measured_batch": int(tb.measured_batch_size)},
+    })
+
+
+def bench_image(queue):
+    import numpy as np
+
+    from instant_ngp_tpu.config import (find_network_config,
+                                        load_network_config)
+    from instant_ngp_tpu.data.images import read_image
     from instant_ngp_tpu.image import ImageTestbed
 
-    # synthetic 1024x1024 target (matches albert.exr dims; no data dep)
-    y, x = np.mgrid[0:1024, 0:1024].astype(np.float32) / 1024.0
-    img = np.stack([0.5 + 0.5 * np.sin(20 * x),
-                    0.5 + 0.5 * np.cos(14 * y),
-                    (x * y)], axis=-1)
-
-    cfg = {
-        "loss": {"otype": "L2"},
-        "optimizer": {"otype": "ExponentialDecay", "decay_start": 20000,
-                      "decay_interval": 10000, "decay_base": 0.33, "nested": {
-                          "otype": "Adam", "learning_rate": 1e-2,
-                          "beta1": 0.9, "beta2": 0.99, "epsilon": 1e-15,
-                          "l2_reg": 1e-6}},
-        "encoding": {"otype": "HashGrid", "n_levels": 16,
-                     "n_features_per_level": 2, "log2_hashmap_size": 19,
-                     "base_resolution": 16},
-        "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
-                    "output_activation": "None", "n_neurons": 64,
-                    "n_hidden_layers": 2},
-    }
-
-    batch = 1 << 18
+    img = read_image("/root/reference/data/image/albert.exr")
+    cfg = load_network_config(find_network_config("base.json", mode="image"))
     tb = ImageTestbed(img, cfg)
-    tb.train(3, batch_size=batch)  # warmup + compile
-
-    n_steps = 30
+    batch = 1 << 18
+    tb.train(3, batch_size=batch)
     t0 = time.perf_counter()
-    tb.train(n_steps, batch_size=batch)
+    n = 30
+    tb.train(n, batch_size=batch)
     dt = time.perf_counter() - t0
-
-    samples_per_s = n_steps * batch / dt
-    baseline = 2.6e6  # RTX 3090 implied image-mode samples/s (see docstring)
-    print(json.dumps({
+    samples_per_s = n * batch / dt
+    queue.put({
         "metric": "image_train_samples_per_s",
         "value": round(samples_per_s, 1),
         "unit": "samples/s/chip",
-        "vs_baseline": round(samples_per_s / baseline, 3),
-    }))
+        "vs_baseline": round(samples_per_s / 2.6e6, 4),
+    })
+
+
+def run_with_watchdog(fn, timeout_s):
+    queue = mp.Queue()
+    proc = mp.Process(target=fn, args=(queue,), daemon=True)
+    proc.start()
+    proc.join(timeout_s)
+    if proc.is_alive():
+        proc.terminate()
+        proc.join(5)
+        return None
+    try:
+        return queue.get_nowait()
+    except Exception:
+        return None
+
+
+def main():
+    result = run_with_watchdog(bench_nerf, timeout_s=540)
+    if result is None:
+        result = run_with_watchdog(bench_image, timeout_s=420)
+    if result is None:
+        result = {"metric": "bench_failed", "value": 0,
+                  "unit": "samples/s/chip", "vs_baseline": 0.0}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

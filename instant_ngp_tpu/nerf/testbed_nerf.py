@@ -367,10 +367,16 @@ class NerfTestbed:
         self._cam_grad_accum = None
         self._exposure_grad_accum = None
 
+    # host sync cadence: reading any stat blocks on the device stream,
+    # and on the tunneled TPU every round trip costs seconds — so stats
+    # are read (and rays/batch adapted) only every sync_every steps,
+    # letting JAX's async dispatch pipeline the steps in between.
+    sync_every = 16
+
     def train(self, n_steps: int) -> float:
         """n_steps full training iterations (prep + step + adapt)."""
-        total_loss = 0.0
-        for _ in range(n_steps):
+        pending = []  # (stats, step_idx) not yet synced
+        for i in range(n_steps):
             self.training_prep()
             self._maybe_init_error_map()
             n_rays = self._bucket(self.rays_per_batch)
@@ -385,64 +391,69 @@ class NerfTestbed:
                 self.distortion_map.params if self.optimize_distortion
                 else None)
             self.training_step += 1
+            pending.append(stats)
 
+            # device-side (async) consumers of this step's outputs
             if "envmap_gradient" in stats:
                 self.envmap.step(stats["envmap_gradient"])
             if "distortion_gradient" in stats:
                 self.distortion_map.step(stats["distortion_gradient"])
-
             if "cam_gradient" in stats:
-                g = jax.tree_util.tree_map(np.asarray,
-                                           stats["cam_gradient"])
-                if self._cam_grad_accum is None:
-                    self._cam_grad_accum = g
-                else:
-                    self._cam_grad_accum = jax.tree_util.tree_map(
-                        np.add, self._cam_grad_accum, g)
+                g = stats["cam_gradient"]
+                self._cam_grad_accum = g if self._cam_grad_accum is None \
+                    else jax.tree_util.tree_map(jnp.add,
+                                                self._cam_grad_accum, g)
             if "exposure_gradient" in stats:
-                g = np.asarray(stats["exposure_gradient"])
+                g = stats["exposure_gradient"]
                 self._exposure_grad_accum = (
                     g if self._exposure_grad_accum is None
                     else self._exposure_grad_accum + g)
             self._n_steps_since_cam_update += 1
             if self._n_steps_since_cam_update >= \
                     self.n_steps_between_cam_updates:
-                self._apply_camera_updates()
+                self._apply_camera_updates()   # syncs (host Adam)
                 self._n_steps_since_cam_update = 0
-
             if "error_map" in stats:
                 self._error_map = stats["error_map"]
                 self._n_steps_since_error_update += 1
                 if self._n_steps_since_error_update >= \
                         self.n_steps_between_error_map_updates:
-                    self._rebuild_error_cdfs()
+                    self._rebuild_error_cdfs()  # syncs (numpy CDFs)
                     self._n_steps_since_error_update = 0
 
-            measured = int(stats["measured_batch_size"])
-            measured_pre = int(stats["measured_batch_size_before_compaction"])
-            if measured == 0:
-                self.loss_scalar = 0.0
-                raise RuntimeError(
-                    "NeRF training generated 0 samples; aborting "
-                    "(reference testbed_nerf.cu:2516-2520)")
-            loss = float(stats["loss"]) * measured / self.target_batch_size
-            self.loss_scalar = loss
-            total_loss += loss
-            self.measured_batch_size = measured
-            self.measured_batch_size_before_compaction = measured_pre
-
-            # adaptive rays/batch (update_after_training :2442-2443),
-            # additionally clamped so expected GENERATED samples fit the
-            # static capacity (reference drops overflowing rays instead)
-            new_rays = int(self.rays_per_batch * self.target_batch_size
-                           / max(measured, 1))
-            capacity = (self.target_batch_size
-                        * self.sample_capacity_multiplier)
-            cap_rays = int(self.rays_per_batch * capacity
-                           / max(measured_pre, 1))
-            self.rays_per_batch = min(max(min(new_rays, cap_rays), 256),
-                                      1 << 18)
+            if len(pending) >= self.sync_every or i == n_steps - 1:
+                self._sync_stats(pending)
+                pending = []
         return self.loss_scalar
+
+    def _sync_stats(self, pending) -> None:
+        """Block once on a batch of steps' stats; adapt from the latest."""
+        if not pending:
+            return
+        stats = pending[-1]
+        measured = int(stats["measured_batch_size"])
+        measured_pre = int(stats["measured_batch_size_before_compaction"])
+        if measured == 0:
+            self.loss_scalar = 0.0
+            raise RuntimeError(
+                "NeRF training generated 0 samples; aborting "
+                "(reference testbed_nerf.cu:2516-2520)")
+        self.loss_scalar = float(stats["loss"]) * measured \
+            / self.target_batch_size
+        self.measured_batch_size = measured
+        self.measured_batch_size_before_compaction = measured_pre
+
+        # adaptive rays/batch (update_after_training :2442-2443),
+        # additionally clamped so expected GENERATED samples fit the
+        # static capacity (reference drops overflowing rays instead)
+        new_rays = int(self.rays_per_batch * self.target_batch_size
+                       / max(measured, 1))
+        capacity = (self.target_batch_size
+                    * self.sample_capacity_multiplier)
+        cap_rays = int(self.rays_per_batch * capacity
+                       / max(measured_pre, 1))
+        self.rays_per_batch = min(max(min(new_rays, cap_rays), 256),
+                                  1 << 18)
 
     @staticmethod
     def _bucket(n: int) -> int:
