@@ -22,3 +22,20 @@ Layer map (cf. SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# Persistent compilation cache: compiles of the big jitted programs (the
+# NeRF train step compiles in minutes through the tunneled TPU backend)
+# are reused across processes. Harmless on CPU; speeds test reruns too.
+import os as _os
+
+import jax as _jax
+
+_cache_dir = _os.environ.get(
+    "INGP_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), ".jax_cache"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # older jax without the knobs
+    pass

@@ -148,6 +148,13 @@ class NerfTestbed:
         self._train_fns = {}     # (n_rays, k) -> jitted step
         self._density_fns = {}
 
+        # observability (reference m_training_prep_ms / m_training_ms /
+        # m_loss_scalar EMA — testbed.h:936-940, common_host.h:62-107)
+        from ..utils import Ema, PhaseTimers
+
+        self.timers = PhaseTimers()
+        self.loss_ema = Ema(half_life_s=1.0)
+
     # ------------------------------------------------------------------
     def _train_cfg(self, n_rays: int, max_k: int) -> NerfTrainStepConfig:
         return NerfTrainStepConfig(
@@ -377,7 +384,8 @@ class NerfTestbed:
         """n_steps full training iterations (prep + step + adapt)."""
         pending = []  # (stats, step_idx) not yet synced
         for i in range(n_steps):
-            self.training_prep()
+            with self.timers.time("training_prep"):
+                self.training_prep()
             self._maybe_init_error_map()
             n_rays = self._bucket(self.rays_per_batch)
             max_k = self._bucket_k(n_rays)
@@ -422,7 +430,8 @@ class NerfTestbed:
                     self._n_steps_since_error_update = 0
 
             if len(pending) >= self.sync_every or i == n_steps - 1:
-                self._sync_stats(pending)
+                with self.timers.time("train_sync"):
+                    self._sync_stats(pending)
                 pending = []
         return self.loss_scalar
 
@@ -440,6 +449,7 @@ class NerfTestbed:
                 "(reference testbed_nerf.cu:2516-2520)")
         self.loss_scalar = float(stats["loss"]) * measured \
             / self.target_batch_size
+        self.loss_ema.update(self.loss_scalar)
         self.measured_batch_size = measured
         self.measured_batch_size_before_compaction = measured_pre
 
@@ -682,6 +692,8 @@ class NerfTestbed:
                                                self.state["params"])
 
     def save_snapshot(self, path: str) -> None:
+        """Snapshot with embedded config + per-image camera state
+        (save_snapshot, testbed.cu:4775-4839 incl. :4793-4795)."""
         from ..data.snapshot import save_snapshot
 
         save_snapshot(path, {
@@ -692,6 +704,15 @@ class NerfTestbed:
             "training_step": self.training_step,
             "density_grid_ema_step": self.density_grid_ema_step,
             "aabb_scale": self.scene.aabb_scale,
+            "dataset_paths": list(self.dataset.paths),
+            "camera": {
+                "pos_offset": self.cam_pos_offset,
+                "rot_offset": self.cam_rot_offset,
+                "focal_offset": self.cam_focal_offset,
+                "exposures": self.data.exposures,
+            },
+            "envmap": self.envmap.state["params"],
+            "distortion_map": self.distortion_map.state["params"],
         })
 
     def load_snapshot_state(self, snapshot: Dict[str, Any]) -> None:
@@ -703,3 +724,18 @@ class NerfTestbed:
         self.bitfield = update_bitfield(self.density_grid,
                                         self.scene.max_cascade)
         self.mean_density = density_grid_mean(self.density_grid)
+        cam = snapshot.get("camera")
+        # per-image state restores only for the same dataset
+        # (dataset-identity gate, testbed.cu:4945-4951)
+        if cam is not None and snapshot.get("dataset_paths") == \
+                list(self.dataset.paths):
+            self.cam_pos_offset = np.asarray(cam["pos_offset"], np.float32)
+            self.cam_rot_offset = np.asarray(cam["rot_offset"], np.float32)
+            self.cam_focal_offset = np.asarray(cam["focal_offset"],
+                                               np.float32)
+            self.data.exposures = jnp.asarray(cam["exposures"])
+        if "envmap" in snapshot:
+            self.envmap.state["params"] = jnp.asarray(snapshot["envmap"])
+        if "distortion_map" in snapshot:
+            self.distortion_map.state["params"] = jnp.asarray(
+                snapshot["distortion_map"])

@@ -86,6 +86,8 @@ class SdfTestbed:
         self.maximum_distance = 5e-5
         self.surface_offset_scale = 1.0
         self.mesh_sdf_mode = "Raystab"
+        self.shadow_sharpness = 16.0  # testbed.h SphereTracer shadow k
+        self.render_with_shadows = False
         self.brdf = BRDFParams()
         self.aabb_min = np.zeros(3, np.float32)
         self.aabb_max = np.ones(3, np.float32)
@@ -205,6 +207,48 @@ class SdfTestbed:
             length=n_iters)
         return pos, hit
 
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _shadow_trace(self, params, origins, light_dir, n_iters: int = 64):
+        """Soft-shadow visibility along rays toward the light.
+
+        Mirrors the reference's shadow pass (prepare_shadow_rays
+        testbed_sdf.cu:231, min_visibility tracking in
+        advance_pos_kernel_sdf :196-203, Inigo Quilez's soft-shadow
+        estimator): v = min over the march of k*d / max(t - y, 0)."""
+        aabb_min = jnp.asarray(self.aabb_min)
+        aabb_max = jnp.asarray(self.aabb_max)
+        from ..nerf.march import aabb_contains
+
+        k = self.shadow_sharpness
+        dirs = jnp.broadcast_to(light_dir, origins.shape)
+
+        def body(carry, _):
+            pos, t_total, prev_d, min_vis, alive = carry
+            d = self.distance(params, pos) - self.zero_offset
+            step = jnp.maximum(d * self.distance_scale, 0.0)
+            y = step * step / jnp.maximum(2.0 * prev_d, 1e-9)
+            dd = jnp.sqrt(jnp.maximum(step * step - y * y, 0.0))
+            vis = k * dd / jnp.maximum(t_total - y, 1e-9)
+            min_vis = jnp.where(alive & (t_total > 0),
+                                jnp.minimum(min_vis, vis), min_vis)
+            hit = d < self.maximum_distance * 4
+            new_pos = pos + (step + 1e-4)[:, None] * dirs
+            inside = aabb_contains(new_pos, aabb_min, aabb_max)
+            pos = jnp.where(alive[:, None], new_pos, pos)
+            t_total = jnp.where(alive, t_total + step + 1e-4, t_total)
+            min_vis = jnp.where(alive & hit, 0.0, min_vis)
+            alive = alive & inside & ~hit
+            return (pos, t_total, jnp.maximum(step, 1e-9), min_vis,
+                    alive), None
+
+        n = origins.shape[0]
+        start = origins + 2e-3 * dirs
+        init = (start, jnp.zeros(n), jnp.full(n, 1e10), jnp.ones(n),
+                jnp.ones(n, bool))
+        (pos, t, pd, min_vis, alive), _ = jax.lax.scan(body, init, None,
+                                                       length=n_iters)
+        return jnp.clip(min_vis, 0.0, 1.0)
+
     def normals(self, params, pos: jax.Array,
                 finite_differences: bool = False,
                 eps: float = 1e-3) -> jax.Array:
@@ -262,6 +306,9 @@ class SdfTestbed:
                 jnp.asarray(self.brdf.basecolor, jnp.float32),
                 jnp.asarray(self.brdf.ambientcolor, jnp.float32),
                 jnp.ones(3), self.brdf, L, V, n_j)
+            if self.render_with_shadows and not use_gt:
+                vis = self._shadow_trace(params, pos_j, L)
+                rgb = rgb * vis[:, None]
 
         bg = jnp.asarray(background_color, jnp.float32)
         rgb = jnp.where(hit_j[:, None], rgb, bg)

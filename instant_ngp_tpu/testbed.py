@@ -32,7 +32,7 @@ def mode_from_scene(path: str) -> TestbedMode:
         return TestbedMode.Sdf
     if ext in (".exr", ".png", ".jpg", ".jpeg", ".bmp", ".tga", ".bin"):
         return TestbedMode.Image
-    if ext == ".nvdb":
+    if ext in (".nvdb", ".npy"):
         return TestbedMode.Volume
     if ext == ".json":
         try:
@@ -129,12 +129,23 @@ class Testbed:
             self.impl = SdfTestbed(self.data_path, self.network_config,
                                    seed=self.seed)
         elif self.mode == TestbedMode.Volume:
-            from .volume import VolumeTestbed
-            from .volume.testbed_volume import load_nanovdb_header
+            import numpy as _np
 
-            raise NotImplementedError(
-                "pass a dense grid to VolumeTestbed directly; full .nvdb "
-                "tree decoding lands with the NanoVDB reader")
+            from .volume import VolumeTestbed
+
+            if self.data_path.endswith(".npy"):
+                grid = _np.load(self.data_path)
+            else:
+                from .volume.testbed_volume import load_nanovdb_header
+
+                hdr = load_nanovdb_header(self.data_path)
+                raise NotImplementedError(
+                    f"NanoVDB grid {hdr['name']!r} parsed (header only); "
+                    "decode the tree to a dense .npy grid to load it "
+                    "(e.g. via openvdb offline) — full in-tree decoding "
+                    "is on the roadmap")
+            self.impl = VolumeTestbed(grid, self.network_config,
+                                      seed=self.seed)
         elif self.mode == TestbedMode.Geometry:
             from .geometry import GeometryTestbed
 
@@ -192,6 +203,44 @@ class Testbed:
             img = img.copy()
             img[..., :3] = linear_to_srgb(np.maximum(img[..., :3], 0.0))
         return img
+
+    # -- mode-specific passthroughs (pyngp surface) ---------------------
+    def calculate_iou(self, n_samples: int = 128 * 128 * 128,
+                      scale_existing_results_factor: float = 0.0,
+                      blocking: bool = True, force_use_octree: bool = True
+                      ) -> float:
+        """SDF IoU metric (python_api.cu:438)."""
+        return self.impl.calculate_iou(n_samples)
+
+    def compute_marching_cubes_mesh(self, resolution: int = 128,
+                                    thresh: float = 2.5):
+        """(verts, faces, colors) from the NeRF density field."""
+        return self.impl.compute_marching_cubes_mesh(resolution, thresh)
+
+    def save_mesh(self, path: str, resolution: int = 128,
+                  thresh: float = 2.5) -> None:
+        from .geom.marching import save_mesh, vertex_normals
+
+        verts, faces, colors = self.compute_marching_cubes_mesh(
+            resolution, thresh)
+        save_mesh(path, verts, faces, colors=colors,
+                  normals=vertex_normals(verts, faces) if len(verts)
+                  else None)
+
+    def screenshot(self, path: str, width: int = 1920, height: int = 1080,
+                   spp: int = 16) -> None:
+        from .data.images import write_image
+
+        img = self.render(width, height, spp=spp)
+        write_image(path, img.astype("float32"))
+
+    def override_sdf_training_data(self, positions, distances) -> None:
+        self.impl.override_training_data(positions, distances)
+
+    @property
+    def nerf(self):
+        """Nested attribute access compatibility (testbed.nerf.training...)"""
+        return self.impl
 
     # -- snapshots ------------------------------------------------------
     def save_snapshot(self, path: str,

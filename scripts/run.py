@@ -44,6 +44,18 @@ def parse_args():
     p.add_argument("--nerf_compatibility", action="store_true",
                    help="match paper conditions: sRGB space, cone angle 0")
     p.add_argument("--train", action="store_true")
+    p.add_argument("--save_mesh", default="",
+                   help="extract + save a marching-cubes mesh (nerf mode)")
+    p.add_argument("--marching_cubes_res", type=int, default=256)
+    p.add_argument("--video_camera_path", default="",
+                   help="camera path JSON to render to video")
+    p.add_argument("--video_n_seconds", type=float, default=1.0)
+    p.add_argument("--video_fps", type=float, default=30.0)
+    p.add_argument("--video_output", default="video_frames")
+    p.add_argument("--video_spp", type=int, default=4)
+    p.add_argument("--mode", default="",
+                   help="force a testbed mode (nerf/sdf/image/volume/"
+                        "geometry; reference --Geometry flag equivalent)")
     return p.parse_args()
 
 
@@ -107,6 +119,21 @@ def main():
             print(f"  view {i}: PSNR {p:.2f}", flush=True)
         print(f"PSNR avg={np.mean(psnrs):.3f} min={np.min(psnrs):.3f} "
               f"max={np.max(psnrs):.3f}")
+
+    if args.save_mesh and testbed.mode == TestbedMode.Nerf:
+        testbed.save_mesh(args.save_mesh,
+                          resolution=args.marching_cubes_res)
+        print("saved mesh", args.save_mesh)
+
+    if args.video_camera_path:
+        from instant_ngp_tpu.camera_path import CameraPath, render_video
+
+        cp = CameraPath.load(args.video_camera_path)
+        cp.duration_seconds = args.video_n_seconds
+        cp.fps = args.video_fps
+        out = render_video(testbed, cp, args.video_output,
+                           spp=args.video_spp)
+        print("rendered camera path to", out)
 
     if args.screenshot_dir:
         os.makedirs(args.screenshot_dir, exist_ok=True)
