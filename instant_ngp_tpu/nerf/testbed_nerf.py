@@ -580,6 +580,15 @@ class NerfTestbed:
                                  min_transmittance=min_transmittance,
                                  background_color=background_color)
 
+    def find_closest_training_view(self, camera_matrix) -> int:
+        """Index of the training camera nearest (pos + orientation) to the
+        given matrix (find_best_training_view, testbed_nerf.cu)."""
+        cam = np.asarray(camera_matrix, np.float32)
+        xforms = np.asarray(self.data.xforms_start)
+        pos_d = np.linalg.norm(xforms[:, :3, 3] - cam[:3, 3], axis=-1)
+        dir_d = np.linalg.norm(xforms[:, :3, 2] - cam[:3, 2], axis=-1)
+        return int(np.argmin(pos_d + dir_d))
+
     def effective_xform(self, img_idx: int) -> np.ndarray:
         """Training camera with any optimized extrinsic offsets applied
         (update_transforms equivalent)."""

@@ -67,9 +67,32 @@ class SdfTestbed:
             self.triangles.reshape(-1, 3) - center, axis=-1).max())
 
         self.config = network_config
-        self.model, self.resolved_config = create_network_with_encoding(
-            3, 1, network_config, desired_resolution=2048.0,
-            compute_dtype=compute_dtype)
+        enc_cfg = network_config.get("encoding", {})
+        self.triangle_octree = None
+        if enc_cfg.get("otype") == "Takikawa":
+            # octree-feature encoding over the mesh surface
+            # (reset_network Takikawa branch, testbed.cu:3805-3824)
+            from ..geom.triangle_octree import TriangleOctree
+            from ..ops.mlp import MLP
+            from ..ops.takikawa import TakikawaEncoding
+            from ..ops.mlp import NetworkWithInputEncoding
+
+            depth = int(enc_cfg.get("n_levels", 8))
+            self.triangle_octree = TriangleOctree(self.triangles, depth)
+            encoding = TakikawaEncoding(
+                self.triangle_octree,
+                starting_level=int(enc_cfg.get("starting_level", 4)),
+                sum_instead_of_concat=bool(
+                    enc_cfg.get("sum_instead_of_concat", False)))
+            net = MLP.from_config(encoding.n_output_dims, 1,
+                                  network_config.get("network", {}),
+                                  compute_dtype=compute_dtype)
+            self.model = NetworkWithInputEncoding(encoding, net)
+            self.resolved_config = network_config
+        else:
+            self.model, self.resolved_config = create_network_with_encoding(
+                3, 1, network_config, desired_resolution=2048.0,
+                compute_dtype=compute_dtype)
         self.optimizer = create_optimizer(network_config["optimizer"])
         self.loss_fn = create_loss(network_config.get("loss",
                                                       {"otype": "MAPE"}))
