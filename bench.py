@@ -34,8 +34,12 @@ def bench_nerf(queue):
     ds = load_nerf(FOX)
     cfg = load_network_config(find_network_config("base.json", mode="nerf"))
     tb = NerfTestbed(ds, cfg)
+    # pin the ray bucket near the steady state so the whole bench uses ONE
+    # compiled train program (tunnel compiles cost minutes)
+    tb.rays_per_batch = 1 << 11
+    tb.adapt_ray_batch = False
     tb.train(1)            # compiles
-    tb.train(16)           # warm + adapt (may recompile on bucket change)
+    tb.train(16)           # warm
     t0 = time.perf_counter()
     n = 64
     tb.train(n)

@@ -80,6 +80,7 @@ class NerfTestbed:
         # adaptive ray batching (nerf.h:35; bucketed powers of two)
         self.target_batch_size = 1 << 18
         self.rays_per_batch = 1 << 12
+        self.adapt_ray_batch = True  # off: pin the bucket (no recompiles)
         self.measured_batch_size = 0
         self.measured_batch_size_before_compaction = 0
 
@@ -453,6 +454,8 @@ class NerfTestbed:
         self.measured_batch_size = measured
         self.measured_batch_size_before_compaction = measured_pre
 
+        if not self.adapt_ray_batch:
+            return
         # adaptive rays/batch (update_after_training :2442-2443),
         # additionally clamped so expected GENERATED samples fit the
         # static capacity (reference drops overflowing rays instead)
