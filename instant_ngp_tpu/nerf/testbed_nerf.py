@@ -583,6 +583,74 @@ class NerfTestbed:
                                  min_transmittance=min_transmittance,
                                  background_color=background_color)
 
+    def render_density_slice(self, resolution: int = 256,
+                             plane_z: float = 0.5) -> np.ndarray:
+        """ERenderMode::Slice equivalent: false-color raw density on an
+        axis-aligned plane (the reference's slice view + the
+        density_slices PNG export)."""
+        from ..geom.marching import density_slice_image
+        from .march import warp_position
+
+        params = self.inference_params()
+        lo, hi = self.scene.aabb_min, self.scene.aabb_max
+        lin = np.linspace(0, 1, resolution, dtype=np.float32)
+        xx, yy = np.meshgrid(lin, lin, indexing="xy")
+        pos = np.stack([xx, yy, np.full_like(xx, plane_z)], -1) \
+            .reshape(-1, 3) * (hi - lo) + lo
+
+        raw = np.asarray(self.model.density(
+            params, np.asarray(warp_position(
+                jnp.asarray(pos), jnp.asarray(lo), jnp.asarray(hi)))))
+        field = raw.reshape(resolution, resolution, 1)
+        return density_slice_image(field, axis=2, index=0)
+
+    def optimise_mesh_step(self, verts: np.ndarray, faces: np.ndarray,
+                           n_steps: int = 1, thresh: float = 2.5,
+                           smooth_amount: float = 0.002,
+                           density_amount: float = 0.001,
+                           inflate_amount: float = 0.0,
+                           learning_rate: float = 1e-4) -> np.ndarray:
+        """Differentiable mesh refinement against the density field
+        (optimise_mesh_step, testbed_nerf.cu:2948-3000 +
+        compute_mesh_opt_gradients, marching_cubes.h:31): per step, move
+        vertices toward the density iso-crossing along the density input
+        gradient, plus Laplacian smoothing and optional inflation, via a
+        host Adam on the vertex positions."""
+        from ..geom.marching import smooth_mesh, vertex_normals
+        from ..ops.host_adam import HostAdam
+        from .march import warp_position
+
+        params = self.inference_params()
+        aabb_min = jnp.asarray(self.scene.aabb_min)
+        aabb_max = jnp.asarray(self.scene.aabb_max)
+        adam = HostAdam(learning_rate)
+        v = np.asarray(verts, np.float32).copy()
+
+        @jax.jit
+        def density_and_grad(pos):
+            def f(p):
+                warped = warp_position(p, aabb_min, aabb_max)
+                return jnp.sum(self.model.density(params, warped))
+
+            raw = self.model.density(
+                params, warp_position(pos, aabb_min, aabb_max))
+            grad = jax.grad(f)(pos)
+            return raw, grad
+
+        for _ in range(n_steps):
+            raw, grad = density_and_grad(jnp.asarray(v))
+            raw = np.asarray(raw)
+            grad = np.asarray(grad)
+            n_hat = grad / np.maximum(
+                np.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+            centroid = smooth_mesh(v, faces, iterations=1, lam=1.0)
+            normals = vertex_normals(v, faces)
+            g = (density_amount * (raw - thresh)[:, None] * n_hat
+                 + smooth_amount * (v - centroid)
+                 + inflate_amount * normals)
+            v = adam.step(v, g)
+        return v
+
     def find_closest_training_view(self, camera_matrix) -> int:
         """Index of the training camera nearest (pos + orientation) to the
         given matrix (find_best_training_view, testbed_nerf.cu)."""

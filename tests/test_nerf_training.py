@@ -192,3 +192,25 @@ def test_envmap_and_distortion_training():
     assert np.abs(np.asarray(tb.envmap.params) - env0).max() > 0
     # distortion gradients exist (may be small on a pinhole scene)
     assert np.isfinite(np.asarray(tb.distortion_map.params)).all()
+
+
+def test_mesh_extraction_and_refinement(testbed):
+    verts, faces, colors = testbed.compute_marching_cubes_mesh(
+        resolution=32, thresh=1.0)
+    if len(verts) == 0:
+        import pytest
+        pytest.skip("no surface at this threshold on the tiny scene")
+    assert colors.shape == (len(verts), 3)
+    refined = testbed.optimise_mesh_step(verts, faces, n_steps=2,
+                                         thresh=1.0)
+    assert refined.shape == verts.shape
+    assert np.isfinite(refined).all()
+    # refinement moves vertices but not far
+    delta = np.linalg.norm(refined - verts, axis=-1)
+    assert delta.max() < 0.1
+
+
+def test_density_slice_render(testbed):
+    img = testbed.render_density_slice(resolution=32)
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
