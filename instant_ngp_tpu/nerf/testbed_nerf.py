@@ -515,7 +515,7 @@ class NerfTestbed:
                      background_color=(0.0, 0.0, 0.0),
                      render_mode: str = "Shade",
                      min_transmittance: float = 1e-2,
-                     tile: int = 1 << 14) -> np.ndarray:
+                     tile: int = 1 << 16) -> np.ndarray:
         """Render a frame; returns (H, W, 4) linear float32.
 
         camera_matrix: (3, 4) NGP-space camera. focal_length defaults to a

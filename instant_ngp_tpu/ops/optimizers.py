@@ -41,6 +41,9 @@ class Optimizer:
         kinds = [n.get("otype") for n in self.chain]
         if kinds[-1] not in ("Adam", "Shampoo"):
             raise ValueError(f"innermost optimizer must be Adam-like, got {kinds}")
+        # the only shipped Shampoo-flavored config (nerf/base.json envmap)
+        # sets beta_shampoo=0.0, which interpolates 0% of the Kronecker
+        # preconditioner — i.e. exactly Adam; treat it as such
         self._adam = self.chain[-1]
         self._decay = next((n for n in self.chain
                             if n.get("otype") == "ExponentialDecay"), None)
