@@ -129,6 +129,22 @@ def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
         rgb_ch = pos_padded
     elif cfg.render_mode == "Depth":
         rgb_ch = [t_padded] * 3
+    elif cfg.render_mode == "AO":
+        # ambient-occlusion-style view: pure white medium — the image is
+        # the accumulated opacity profile (ERenderMode::AO analog)
+        rgb_ch = [jnp.ones_like(t_padded)] * 3
+    elif cfg.render_mode == "EncodingVis":
+        # visualize the first three hash-encoding features at the samples
+        if hasattr(model.pos_encoding, "apply_components"):
+            feats = model.pos_encoding.apply_components(
+                params["pos_encoding"], list(samples.positions))
+        else:
+            feats = model.pos_encoding.apply(
+                params["pos_encoding"], jnp.stack(samples.positions, -1))
+        vis = feats[..., :3] * 20.0 + 0.5
+        rgb_ch = [pad_samples_per_ray(samples, vis[..., k],
+                                      cfg.max_samples_per_ray)[0]
+                  for k in range(3)]
 
     ray_ch = [jnp.sum(weight * c, axis=1) for c in rgb_ch]
     opacity = jnp.sum(weight, axis=1)

@@ -214,3 +214,12 @@ def test_density_slice_render(testbed):
     img = testbed.render_density_slice(resolution=32)
     assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all()
+
+
+def test_additional_render_modes(testbed):
+    for mode in ("AO", "EncodingVis", "Cost", "Positions"):
+        img = testbed.render_frame(16, 16,
+                                   np.asarray(testbed.data.xforms_start[0]),
+                                   render_mode=mode, tile=256)
+        assert img.shape == (16, 16, 4)
+        assert np.isfinite(img).all()
