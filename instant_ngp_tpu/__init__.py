@@ -35,7 +35,9 @@ _cache_dir = _os.environ.get(
     _os.path.join(_os.path.dirname(_os.path.dirname(
         _os.path.abspath(__file__))), ".jax_cache"))
 try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 2.0)
 except Exception:  # older jax without the knobs
     pass

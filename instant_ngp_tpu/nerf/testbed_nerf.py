@@ -84,9 +84,12 @@ class NerfTestbed:
         self.measured_batch_size = 0
         self.measured_batch_size_before_compaction = 0
 
-        # march shape knobs (static per compile)
-        self.n_march = 512
-        self.max_samples_per_ray = 128
+        # march shape knobs (static per compile). The reference caps
+        # samples per ray at NERF_STEPS=1024; unit-cube (cone 0) scenes
+        # genuinely need hundreds of samples to cross an object, and a
+        # low cap truncates rays mid-scene (-> fog artifacts).
+        self.n_march = 1024
+        self.max_samples_per_ray = 1024
         # generation capacity = multiplier * target batch (the reference
         # sizes its uncompacted buffers at 16x target, testbed_nerf.cu:2685;
         # 4x covers the steady-state compaction ratio at far less memory)
