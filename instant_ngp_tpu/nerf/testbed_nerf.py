@@ -493,10 +493,14 @@ class NerfTestbed:
         if key not in self._render_fns:
             from .render import RenderConfig, render_tile
 
+            # capacity covers EVERY ray at the full per-ray cap: a
+            # shared-capacity render buffer starves late rays in the tile
+            # when early-training scenes march hundreds of samples/ray
+            k_render = min(self.max_samples_per_ray, 512)
             cfg = RenderConfig(
                 n_rays=tile, n_march=1024,
-                max_samples_per_ray=self.max_samples_per_ray,
-                sample_capacity=tile * 32,
+                max_samples_per_ray=k_render,
+                sample_capacity=tile * k_render,
                 cone_angle=self.scene.cone_angle_constant,
                 max_mip=self.scene.max_cascade,
                 rgb_activation=self.scene.rgb_activation,
@@ -518,7 +522,7 @@ class NerfTestbed:
                      background_color=(0.0, 0.0, 0.0),
                      render_mode: str = "Shade",
                      min_transmittance: float = 1e-2,
-                     tile: int = 1 << 16) -> np.ndarray:
+                     tile: int = 1 << 13) -> np.ndarray:
         """Render a frame; returns (H, W, 4) linear float32.
 
         camera_matrix: (3, 4) NGP-space camera. focal_length defaults to a
