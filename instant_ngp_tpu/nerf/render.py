@@ -170,6 +170,7 @@ def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
 def camera_rays_for_frame(width: int, height: int, focal_length,
                           camera_matrix, screen_center=(0.5, 0.5),
                           lens_mode: int = 0, lens_params=None,
+                          distortion_map: Optional[jax.Array] = None,
                           jitter: Optional[jax.Array] = None
                           ) -> Tuple[jax.Array, jax.Array]:
     """(H*W, 3) origins + normalized dirs for a full frame. `jitter` (2,)
@@ -183,6 +184,51 @@ def camera_rays_for_frame(width: int, height: int, focal_length,
     origins, dirs, _ = uv_to_ray(
         uv, (width, height), jnp.asarray(focal_length, jnp.float32),
         jnp.asarray(camera_matrix, jnp.float32), screen_center,
-        lens_mode=lens_mode, lens_params=lens_params)
+        lens_mode=lens_mode, lens_params=lens_params,
+        distortion_map=distortion_map)
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     return origins, dirs
+
+
+def hsv_to_rgb(h: jax.Array, s: jax.Array, v: jax.Array):
+    """HSV→RGB per channel (common_device.cuh:691-712)."""
+    h6 = (h % 1.0) * 6.0
+    c = v * s
+    x = c * (1.0 - jnp.abs(h6 % 2.0 - 1.0))
+    m = v - c
+    i = jnp.floor(h6).astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [c, x, 0.0, 0.0, x], c)
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [x, c, c, x, 0.0], 0.0)
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [0.0, 0.0, x, c, c], x)
+    return r + m, g + m, b + m
+
+
+def distortion_flow_image(width: int, height: int, focal_length,
+                          camera_matrix, screen_center=(0.5, 0.5),
+                          lens_mode: int = 0, lens_params=None,
+                          distortion_map: Optional[jax.Array] = None
+                          ) -> jax.Array:
+    """ERenderMode::Distortion (testbed_nerf.cu:1458-1467): cast the
+    distorted ray per pixel, project ray(1.0) back through the *pinhole*
+    model, and visualize the uv displacement ×64 as an HSV flow field
+    (hue = direction, value = magnitude; to_rgb common_device.cuh:714)."""
+    from ..camera import pos_to_uv
+
+    x = jnp.arange(width, dtype=jnp.float32)
+    y = jnp.arange(height, dtype=jnp.float32)
+    uv = jnp.stack(jnp.meshgrid((x + 0.5) / width, (y + 0.5) / height,
+                                indexing="xy"), axis=-1).reshape(-1, 2)
+    fl = jnp.asarray(focal_length, jnp.float32)
+    cam = jnp.asarray(camera_matrix, jnp.float32)
+    origins, dirs, _ = uv_to_ray(
+        uv, (width, height), fl, cam, screen_center,
+        lens_mode=lens_mode, lens_params=lens_params,
+        distortion_map=distortion_map)
+    uv_after, _ = pos_to_uv(origins + dirs, (width, height), fl, cam,
+                            screen_center)
+    d = (uv_after - uv) * 64.0
+    mag = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)
+    hue = jnp.arctan2(d[:, 1], d[:, 0]) / (2.0 * jnp.pi) + 0.5
+    r, g, b = hsv_to_rgb(hue, jnp.ones_like(mag), mag)
+    rgba = jnp.stack([r, g, b, jnp.ones_like(mag)], axis=-1)
+    return rgba.reshape(height, width, 4)

@@ -522,7 +522,10 @@ class NerfTestbed:
                      background_color=(0.0, 0.0, 0.0),
                      render_mode: str = "Shade",
                      min_transmittance: float = 1e-2,
-                     tile: int = 1 << 13) -> np.ndarray:
+                     tile: int = 1 << 13,
+                     lens_mode: int = 0, lens_params=None,
+                     screen_center=(0.5, 0.5),
+                     use_distortion_map: bool = False) -> np.ndarray:
         """Render a frame; returns (H, W, 4) linear float32.
 
         camera_matrix: (3, 4) NGP-space camera. focal_length defaults to a
@@ -541,6 +544,18 @@ class NerfTestbed:
             if fl.ndim == 0:
                 fl = np.array([float(fl), float(fl)], np.float32)
 
+        dist_map = None
+        if use_distortion_map or self.optimize_distortion:
+            dist_map = self.distortion_map.params
+
+        if render_mode == "Distortion":
+            # screen-space lens visualization; no marching
+            from .render import distortion_flow_image
+            return np.asarray(distortion_flow_image(
+                width, height, fl, camera_matrix, screen_center,
+                lens_mode=lens_mode, lens_params=lens_params,
+                distortion_map=dist_map))
+
         params = self.inference_params()
         fn = self._get_render_fn(tile, render_mode, min_transmittance)
         bg = jnp.broadcast_to(jnp.asarray(background_color, jnp.float32),
@@ -553,7 +568,9 @@ class NerfTestbed:
             jitter = None if spp == 1 else ld_pixel_offset(s)
             origins, dirs = camera_rays_for_frame(
                 width, height, fl, camera_matrix,
-                lens_mode=0, jitter=jitter)
+                screen_center=screen_center, lens_mode=lens_mode,
+                lens_params=lens_params, distortion_map=dist_map,
+                jitter=jitter)
             n_pad = (n_pixels + tile - 1) // tile * tile
             o = jnp.concatenate(
                 [origins, jnp.zeros((n_pad - n_pixels, 3))])
@@ -586,9 +603,17 @@ class NerfTestbed:
         fl = np.asarray(self.data.focal_lengths[img_idx]) \
             * np.array([width / w0, height / h0])
         cam = self.effective_xform(img_idx)
-        return self.render_frame(width, height, cam, fl, spp=spp,
-                                 min_transmittance=min_transmittance,
-                                 background_color=background_color)
+        # render through the training camera's actual lens (the reference
+        # always rasterizes eval views with the per-frame lens —
+        # testbed_nerf.cu:1855 render_with_lens_distortion); a pinhole
+        # render of an OpenCV-lens capture like fox misaligns pixels
+        return self.render_frame(
+            width, height, cam, fl, spp=spp,
+            min_transmittance=min_transmittance,
+            background_color=background_color,
+            lens_mode=self.scene.lens_mode,
+            lens_params=np.asarray(self.data.lens_params[img_idx]),
+            screen_center=np.asarray(self.data.principal_points[img_idx]))
 
     def render_density_slice(self, resolution: int = 256,
                              plane_z: float = 0.5) -> np.ndarray:

@@ -111,6 +111,12 @@ class SdfTestbed:
         self.mesh_sdf_mode = "Raystab"
         self.shadow_sharpness = 16.0  # testbed.h SphereTracer shadow k
         self.render_with_shadows = False
+        # GT render oracle (ESDFGroundTruthMode, common.h:146-150):
+        # RaytracedMesh | SpheretracedMesh | SDFBricks
+        self.groundtruth_mode = "RaytracedMesh"
+        self.brick_res = 5          # testbed.cu:4392
+        self.brick_level = 10       # testbed.h:816
+        self._bricks = None
         self.brdf = BRDFParams()
         self.aabb_min = np.zeros(3, np.float32)
         self.aabb_max = np.ones(3, np.float32)
@@ -212,7 +218,9 @@ class SdfTestbed:
 
         def body(carry, _):
             pos, alive, hit = carry
-            d = self.distance(params, pos) - self.zero_offset
+            raw = (self._bricks.distance(pos) if use_gt
+                   else self.distance(params, pos))
+            d = raw - self.zero_offset
             step = d * self.distance_scale
             new_pos = pos + step[:, None] * dirs
             inside = aabb_contains(new_pos, aabb_min, aabb_max)
@@ -272,6 +280,30 @@ class SdfTestbed:
                                                        length=n_iters)
         return jnp.clip(min_vis, 0.0, 1.0)
 
+    def _ensure_bricks(self):
+        """Lazily build the SDF brick cache (testbed.cu:4390-4406)."""
+        if self._bricks is None:
+            from ..geom.triangle_octree import TriangleOctree
+            from .bricks import SdfBricks
+
+            octree = self.triangle_octree
+            if octree is None or octree.depth - 1 > self.brick_level:
+                octree = TriangleOctree(
+                    self.triangles, min(self.brick_level + 1, 7))
+            self._bricks = SdfBricks(octree, self.bvh,
+                                     brick_res=self.brick_res,
+                                     brick_level=self.brick_level)
+
+    def _brick_normals(self, pos: jax.Array, eps: float) -> jax.Array:
+        """Central differences on the brick SDF, taps one voxel apart
+        (brick_smooth_normals, testbed_sdf.cu:980-981)."""
+        offs = jnp.eye(3) * eps
+        g = jnp.stack([self._bricks.distance(pos + offs[i])
+                       - self._bricks.distance(pos - offs[i])
+                       for i in range(3)], -1)
+        return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True),
+                               1e-9)
+
     def normals(self, params, pos: jax.Array,
                 finite_differences: bool = False,
                 eps: float = 1e-3) -> jax.Array:
@@ -299,7 +331,39 @@ class SdfTestbed:
         origins, dirs = camera_rays_for_frame(
             width, height, (fl, fl), np.asarray(camera_matrix, np.float32))
 
-        if use_gt:
+        if use_gt and self.groundtruth_mode == "SDFBricks":
+            # sphere trace the brick-cached GT SDF (the mode the
+            # reference builds at testbed.cu:4388 but never samples)
+            self._ensure_bricks()
+            pos_j, hit_j = self._sphere_trace(None, origins, dirs, 96,
+                                              True)
+            eps = (2.0 ** -(self._bricks.level + 1)) \
+                / (self.brick_res - 1)  # one brick voxel (:981)
+            n_j = self._brick_normals(pos_j, eps)
+        elif use_gt and self.groundtruth_mode == "SpheretracedMesh":
+            # iterative host loop against the exact BVH signed distance
+            pos = np.asarray(origins, np.float32).copy()
+            dirs_np = np.asarray(dirs, np.float32)
+            alive = np.ones(len(pos), bool)
+            for _ in range(48):
+                d = self.bvh.signed_distance(pos[alive], mode="Watertight")
+                pos[alive] += (d * self.distance_scale)[:, None] \
+                    * dirs_np[alive]
+                alive[alive.nonzero()[0]] = np.abs(d) > 5e-4
+                if not alive.any():
+                    break
+            d_final = self.bvh.signed_distance(pos, mode="Watertight")
+            hit = np.abs(d_final) < 5e-3
+            eps = 1e-3
+            g = np.stack([
+                self.bvh.signed_distance(pos + off, mode="Watertight")
+                - self.bvh.signed_distance(pos - off, mode="Watertight")
+                for off in (np.eye(3, dtype=np.float32) * eps)], -1)
+            n = g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True),
+                               1e-9)
+            pos_j, hit_j, n_j = (jnp.asarray(pos), jnp.asarray(hit),
+                                 jnp.asarray(n))
+        elif use_gt:
             t, idx = self.bvh.ray_trace(np.asarray(origins),
                                         np.asarray(dirs))
             hit = idx >= 0

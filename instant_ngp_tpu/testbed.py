@@ -133,17 +133,9 @@ class Testbed:
 
             from .volume import VolumeTestbed
 
-            if self.data_path.endswith(".npy"):
-                grid = _np.load(self.data_path)
-            else:
-                from .volume.testbed_volume import load_nanovdb_header
+            from .volume.testbed_volume import load_volume_grid
 
-                hdr = load_nanovdb_header(self.data_path)
-                raise NotImplementedError(
-                    f"NanoVDB grid {hdr['name']!r} parsed (header only); "
-                    "decode the tree to a dense .npy grid to load it "
-                    "(e.g. via openvdb offline) — full in-tree decoding "
-                    "is on the roadmap")
+            grid = load_volume_grid(self.data_path)
             self.impl = VolumeTestbed(grid, self.network_config,
                                       seed=self.seed)
         elif self.mode == TestbedMode.Geometry:

@@ -72,6 +72,18 @@ def load_nanovdb_header(path: str) -> Dict[str, Any]:
         }
 
 
+def load_volume_grid(path: str) -> np.ndarray:
+    """Load a GT density grid: `.nvdb` (NanoVDB FloatGrid, decoded
+    in-tree like the reference's load_volume, testbed_volume.cu:572) or
+    dense `.npy`."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    from .nanovdb import read_nanovdb_dense
+
+    dense, _ = read_nanovdb_dense(path)
+    return dense
+
+
 def proc_envmap(dirs: jax.Array, up_dir: jax.Array, sun_dir: jax.Array,
                 sky_col: jax.Array) -> jax.Array:
     """Procedural sun/sky (proc_envmap, testbed_volume.cu:44-58)."""

@@ -221,7 +221,9 @@ struct Bvh {
                 if (dl <= best) stack[sp++] = near;
             }
         }
-        if (best_idx < 0) { best_idx = 0; best = 0.0f; }
+        // nothing within the search radius: distance saturates at the
+        // bound (returning 0 here would fake a surface hit far away)
+        if (best_idx < 0) best_idx = 0;
         return {best_idx, std::sqrt(best)};
     }
 

@@ -136,6 +136,43 @@ def test_sdf_render_modes(sdf_testbed):
     assert gt[..., 3].sum() > 0  # the box is visible
 
 
+def test_sdf_gt_modes_agree(sdf_testbed):
+    """All three GT oracles must silhouette the same box."""
+    cam = np.array([[1, 0, 0, 0.5], [0, -1, 0, 0.5], [0, 0, -1, 2.2]],
+                   np.float32)
+    imgs = {}
+    for mode in ("RaytracedMesh", "SDFBricks", "SpheretracedMesh"):
+        sdf_testbed.groundtruth_mode = mode
+        imgs[mode] = sdf_testbed.render_frame(24, 24, cam, use_gt=True)
+        assert np.isfinite(imgs[mode]).all()
+    sdf_testbed.groundtruth_mode = "RaytracedMesh"
+    ref_sil = imgs["RaytracedMesh"][..., 3] > 0.5
+    for mode in ("SDFBricks", "SpheretracedMesh"):
+        sil = imgs[mode][..., 3] > 0.5
+        agree = (sil == ref_sil).mean()
+        assert agree > 0.9, f"{mode} silhouette only {agree:.2f} match"
+
+
+def test_sdf_bricks_distance_accuracy():
+    """Brick-interpolated SDF matches the exact BVH SDF off-lattice."""
+    from instant_ngp_tpu.geom.triangle_bvh import TriangleBvh
+    from instant_ngp_tpu.geom.triangle_octree import TriangleOctree
+    from instant_ngp_tpu.sdf.bricks import SdfBricks
+
+    tris = make_box_mesh(0.25, 0.75)
+    bvh = TriangleBvh(tris)
+    octree = TriangleOctree(tris, 4)
+    bricks = SdfBricks(octree, bvh, brick_res=5, brick_level=3)
+    rng = np.random.RandomState(1)
+    pos = (rng.rand(256, 3) * 0.5 + 0.25).astype(np.float32)  # near box
+    want = bvh.signed_distance(pos, mode="Watertight")
+    got = np.asarray(bricks.distance(jnp.asarray(pos)))
+    occ = np.asarray(octree.contains(jnp.asarray(pos), bricks.level))
+    err = np.abs(got[occ] - want[occ])
+    assert occ.sum() > 50
+    assert err.max() < 0.05  # trilinear error at 1/8-cell lattices
+
+
 # ---------------------------------------------------------------------------
 # volume mode
 # ---------------------------------------------------------------------------

@@ -217,9 +217,25 @@ def test_density_slice_render(testbed):
 
 
 def test_additional_render_modes(testbed):
-    for mode in ("AO", "EncodingVis", "Cost", "Positions"):
+    for mode in ("AO", "EncodingVis", "Cost", "Positions", "Distortion"):
         img = testbed.render_frame(16, 16,
                                    np.asarray(testbed.data.xforms_start[0]),
                                    render_mode=mode, tile=256)
         assert img.shape == (16, 16, 4)
         assert np.isfinite(img).all()
+
+
+def test_distortion_mode_visualizes_lens():
+    """A distorting lens must produce nonzero flow; pinhole must be black."""
+    from instant_ngp_tpu.camera import lens_mode_id
+    from instant_ngp_tpu.nerf.render import distortion_flow_image
+
+    cam = np.eye(3, 4, dtype=np.float32)
+    fl = np.array([40.0, 40.0], np.float32)
+    pin = np.asarray(distortion_flow_image(16, 16, fl, cam))
+    assert pin[..., :3].max() < 1e-4
+    params = np.array([0.2, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], np.float32)
+    warped = np.asarray(distortion_flow_image(
+        16, 16, fl, cam, lens_mode=lens_mode_id("OpenCV"),
+        lens_params=params))
+    assert warped[..., :3].max() > 0.01
