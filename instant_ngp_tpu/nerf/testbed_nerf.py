@@ -775,14 +775,21 @@ class NerfTestbed:
         (marching_cubes, testbed_nerf.cu:3139; colors via the RGB head
         with the surface normal as view direction)."""
         from ..geom.marching import marching_tetrahedra, vertex_normals
+        from ..geom.marching_cubes import marching_cubes
         from .march import warp_direction, warp_position
 
         aabb_min = np.asarray(aabb[0] if aabb else self.scene.aabb_min)
         aabb_max = np.asarray(aabb[1] if aabb else self.scene.aabb_max)
         field = self.density_on_grid(resolution, aabb=(aabb_min, aabb_max))
-        verts, faces = marching_tetrahedra(
-            field, iso=thresh, origin=aabb_min,
-            spacing=(aabb_max - aabb_min) / max(resolution - 1, 1))
+        spacing = (aabb_max - aabb_min) / max(resolution - 1, 1)
+        if getattr(self, "mesh_algorithm", "mc") == "tets":
+            verts, faces = marching_tetrahedra(
+                field, iso=thresh, origin=aabb_min, spacing=spacing)
+        else:
+            # classic MC (generated table): inside = density > thresh,
+            # hence the sign flip (marching_cubes's inside is < iso)
+            verts, faces = marching_cubes(-field, iso=-thresh,
+                                          origin=aabb_min, spacing=spacing)
         if len(verts) == 0:
             return verts, faces, np.zeros((0, 3), np.float32)
         normals = vertex_normals(verts, faces)

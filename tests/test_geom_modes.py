@@ -81,6 +81,57 @@ def test_marching_tets_sphere_radius():
     assert r.std() < 0.01
 
 
+def test_marching_cubes_sphere():
+    """Generated-table MC: exact radius, watertight, outward normals."""
+    from instant_ngp_tpu.geom.marching_cubes import marching_cubes
+
+    g = np.mgrid[0:32, 0:32, 0:32].astype(np.float32) / 31 - 0.5
+    field = np.sqrt((g ** 2).sum(0)) - 0.3
+    v, f = marching_cubes(field, 0.0, spacing=np.full(3, 1 / 31.0),
+                          origin=np.full(3, -0.5))
+    assert len(v) > 100 and len(f) > 100
+    r = np.linalg.norm(v - v.mean(0), axis=-1)
+    assert abs(r.mean() - 0.3) < 0.005
+    assert r.std() < 0.005
+    # watertight with consistent winding: every directed edge matched
+    # by its reverse exactly once
+    edges = {}
+    for a, b, c in f:
+        for u, w in ((a, b), (b, c), (c, a)):
+            edges[(u, w)] = edges.get((u, w), 0) + 1
+    assert all(cnt == 1 and edges.get((w, u)) == 1
+               for (u, w), cnt in edges.items())
+    # outward orientation: positive divergence-theorem volume ~ sphere
+    vol = sum(np.dot(v[a], np.cross(v[b], v[c])) for a, b, c in f) / 6.0
+    assert abs(vol - 4 / 3 * np.pi * 0.3 ** 3) < 0.01 * 4 * 0.3 ** 3
+
+
+def test_marching_cubes_random_fields_watertight():
+    """Random fields hammer the ambiguous configurations; the mesh must
+    stay closed with consistent winding (the classic MC hole bug would
+    show up here). Note the table is intentionally NOT complement-
+    symmetric — that symmetry is exactly what causes holes."""
+    from instant_ngp_tpu.geom.marching_cubes import N_TRIS, marching_cubes
+
+    assert N_TRIS.max() == 5 and N_TRIS[0] == 0 and N_TRIS[255] == 0
+    rng = np.random.RandomState(0)
+    for trial in range(3):
+        field = rng.randn(6, 6, 6).astype(np.float32)
+        field[0] = field[-1] = 1.0  # close at the border
+        field[:, 0] = field[:, -1] = 1.0
+        field[:, :, 0] = field[:, :, -1] = 1.0
+        v, f = marching_cubes(field, 0.0)
+        assert len(f) > 0
+        edges = {}
+        for a, b, c in f:
+            for u, w in ((a, b), (b, c), (c, a)):
+                edges[(u, w)] = edges.get((u, w), 0) + 1
+        unmatched = [e for (u, w), cnt in edges.items()
+                     for e in [(u, w)]
+                     if cnt != 1 or edges.get((w, u)) != 1]
+        assert not unmatched, f"trial {trial}: {len(unmatched)} bad edges"
+
+
 def test_mesh_save_load_roundtrip(tmp_path):
     from instant_ngp_tpu.geom.marching import marching_tetrahedra, save_mesh
     from instant_ngp_tpu.geom.triangle_bvh import load_obj
