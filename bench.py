@@ -82,6 +82,13 @@ def bench_image(queue):
     })
 
 
+def bench_image_cpu(queue):
+    # last resort when the tunneled TPU is wedged: same image benchmark
+    # on the host CPU backend so the driver still gets a real number
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    bench_image(queue)
+
+
 def run_with_watchdog(fn, timeout_s):
     queue = mp.Queue()
     proc = mp.Process(target=fn, args=(queue,), daemon=True)
@@ -101,6 +108,10 @@ def main():
     result = run_with_watchdog(bench_nerf, timeout_s=540)
     if result is None:
         result = run_with_watchdog(bench_image, timeout_s=420)
+    if result is None:
+        result = run_with_watchdog(bench_image_cpu, timeout_s=300)
+        if result is not None:
+            result["metric"] += "_cpu_fallback"
     if result is None:
         result = {"metric": "bench_failed", "value": 0,
                   "unit": "samples/s/chip", "vs_baseline": 0.0}
