@@ -110,13 +110,20 @@ class NerfNetwork:
 
     def apply_components(self, params, pos_comps, dir_comps,
                          extra: Optional[jax.Array] = None,
-                         max_level: Optional[jax.Array] = None):
+                         max_level: Optional[jax.Array] = None,
+                         pos_feats: Optional[jax.Array] = None):
         """Structure-of-arrays forward: pos/dir as lists of 3 (N,) arrays.
 
         Returns (rgb_raw (N, 3-as-channels...), density_raw (N,)) — i.e. a
         tuple (r, g, b, sigma) of (N,) arrays, avoiding any big (N, 3/4)
-        result buffer (TPU tile padding would inflate it 32-42x)."""
-        if hasattr(self.pos_encoding, "apply_components"):
+        result buffer (TPU tile padding would inflate it 32-42x).
+
+        pos_feats: optional precomputed position features (the tensor-
+        parallel path computes them with a level-sharded table and
+        all-gathers before the MLPs — parallel/tp.py)."""
+        if pos_feats is not None:
+            feats = pos_feats
+        elif hasattr(self.pos_encoding, "apply_components"):
             feats = self.pos_encoding.apply_components(
                 params["pos_encoding"], pos_comps, max_level=max_level)
         else:

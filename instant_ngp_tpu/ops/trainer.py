@@ -38,7 +38,8 @@ def default_l2_mask(params) -> Any:
     {"encoding": ..., "net": [...]} (NetworkWithInputEncoding) or plain
     lists of matrices (bare MLP)."""
     if isinstance(params, dict):
-        return {k: jax.tree_util.tree_map(lambda _: k != "encoding", v)
+        return {k: jax.tree_util.tree_map(
+            lambda _, k=k: "encoding" not in k, v)
                 if not isinstance(v, dict) else default_l2_mask(v)
                 for k, v in params.items()}
     return jax.tree_util.tree_map(lambda _: True, params)

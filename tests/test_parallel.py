@@ -18,6 +18,128 @@ def test_sharded_nerf_step_matches_grad_semantics():
     dryrun_multichip(len(jax.devices()))
 
 
+def test_tp_level_sharded_encoding_matches_replicated():
+    """Level-sharded TP features == the plain encoding's features."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from instant_ngp_tpu.ops.grid_encoding import GridEncoding
+    from instant_ngp_tpu.parallel.tp import LevelShardedGrid
+
+    enc = GridEncoding.from_config(3, {
+        "otype": "HashGrid", "n_levels": 8, "n_features_per_level": 2,
+        "log2_hashmap_size": 10, "base_resolution": 4},
+        dtype=jnp.float32)
+    params = enc.init(jax.random.PRNGKey(1))
+    sh = LevelShardedGrid(enc, 4)
+    table = sh.pack(params)
+    np.testing.assert_allclose(np.asarray(sh.unpack(table)),
+                               np.asarray(params))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("model",))
+    pos = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+    comps = [pos[:, 0], pos[:, 1], pos[:, 2]]
+
+    tp_feats = jax.jit(shard_map(
+        lambda t, a, b, c: sh.local_features(t, [a, b, c]),
+        mesh=mesh, in_specs=(P("model"), P(), P(), P()),
+        out_specs=P(), check_rep=False))(table, *comps)
+    ref = enc.apply(params, pos)
+    np.testing.assert_allclose(np.asarray(tp_feats), np.asarray(ref),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_tp_train_step_matches_dp():
+    """Hybrid (data=1, model=4) TP step == pure-DP step on 1 device:
+    same rays, same gradients, same parameter update."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from __graft_entry__ import _NERF_CFG, _tiny_dataset
+    from instant_ngp_tpu.nerf.occupancy import init_bitfield
+    from instant_ngp_tpu.nerf.parallel import make_sharded_train_step
+    from instant_ngp_tpu.nerf.testbed_nerf import NerfTestbed
+    from instant_ngp_tpu.nerf.training import NerfTrainStepConfig
+    from instant_ngp_tpu.ops.losses import LossType
+    from instant_ngp_tpu.parallel import replicate
+    from instant_ngp_tpu.parallel.tp import (LevelShardedGrid,
+                                             make_tp_train_step)
+
+    tb = NerfTestbed(_tiny_dataset(), _NERF_CFG, compute_dtype=jnp.float32)
+    cfg = NerfTrainStepConfig(
+        n_rays=128, n_march=32, max_samples_per_ray=8,
+        sample_capacity=1024, lens_mode=0, cone_angle=0.0, max_mip=0,
+        rgb_activation="Logistic", density_activation="Exponential",
+        loss_type=LossType.Huber, near_distance=0.0)
+    lo, hi = jnp.zeros(3), jnp.ones(3)
+    bitfield = jnp.full_like(init_bitfield(), 255)
+    mean_density = jnp.zeros(())
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+
+    # snapshot initial state on host (both steps donate their inputs)
+    init_state = jax.tree_util.tree_map(np.asarray, tb.state)
+
+    # --- reference: DP on a 1-device mesh
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    dp_step = make_sharded_train_step(tb.model, tb.optimizer, cfg, lo, hi,
+                                      mesh1)
+    dp_state, dp_stats = dp_step(
+        replicate(mesh1, jax.tree_util.tree_map(jnp.asarray, init_state)),
+        replicate(mesh1, tb.data),
+        replicate(mesh1, bitfield), replicate(mesh1, mean_density),
+        jax.device_put(keys, NamedSharding(mesh1, P("data"))))
+
+    # --- TP: (data=1, model=4)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4),
+                ("data", "model"))
+    build, sharded_enc = make_tp_train_step(
+        tb.model, tb.optimizer, cfg, lo, hi, mesh)
+    packed_params = jax.tree_util.tree_map(
+        jnp.asarray, dict(init_state["params"]))
+    packed_params["pos_encoding"] = sharded_enc.pack(
+        init_state["params"]["pos_encoding"])
+    packed_state = {"params": packed_params,
+                    "opt": tb.optimizer.init(packed_params)}
+    step, specs = build(packed_state)
+    put = lambda tree, spec_tree: jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        tree, spec_tree)
+    tp_state, tp_stats = step(
+        put(packed_state, specs),
+        replicate(mesh, tb.data), replicate(mesh, bitfield),
+        replicate(mesh, mean_density),
+        jax.device_put(keys, NamedSharding(mesh, P("data"))))
+
+    assert np.isfinite(float(tp_stats["loss"]))
+    np.testing.assert_allclose(float(tp_stats["loss"]),
+                               float(dp_stats["loss"]), rtol=1e-5)
+    # Adam with eps=1e-15 turns any near-zero gradient into a full
+    # +-lr*sign(g) step, so fp-noise-level forward differences between
+    # the fused and the level-uniform encoding produce isolated +-lr
+    # param deltas. Require exact agreement for 99% of entries and
+    # bound the rest by one optimizer step.
+    tp_table = np.asarray(
+        sharded_enc.unpack(tp_state["params"]["pos_encoding"]))
+    dp_table = np.asarray(dp_state["params"]["pos_encoding"])
+    diff = np.abs(tp_table - dp_table)
+    close = diff <= 1e-7 + 1e-4 * np.abs(dp_table)
+    assert close.mean() > 0.99, f"only {close.mean():.4f} entries match"
+    assert diff.max() <= 2e-2, "differences exceed one Adam step"
+    for k in ("density_net", "rgb_net"):
+        a = jax.tree_util.tree_leaves(tp_state["params"][k])
+        b = jax.tree_util.tree_leaves(dp_state["params"][k])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-7)
+
+
 def test_sharded_image_training_loss_decreases():
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")
