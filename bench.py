@@ -35,10 +35,12 @@ def bench_nerf(queue):
     cfg = load_network_config(find_network_config("base.json", mode="nerf"))
     tb = NerfTestbed(ds, cfg)
     # pin the ray bucket near the steady state so the whole bench uses ONE
-    # compiled train program (tunnel compiles cost minutes)
+    # compiled train program (tunnel compiles cost minutes), and fuse 16
+    # steps per dispatch so tunnel round-trip latency doesn't dominate
     tb.rays_per_batch = 1 << 11
     tb.adapt_ray_batch = False
-    tb.train(1)            # compiles
+    tb.steps_per_dispatch = 16
+    tb.train(16)           # compiles
     tb.train(16)           # warm
     t0 = time.perf_counter()
     n = 64

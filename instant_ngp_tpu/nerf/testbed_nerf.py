@@ -99,6 +99,13 @@ class NerfTestbed:
         # (all cells for the first 256 steps, then 1/4 + 1/4)
         self.density_samples_override = None
 
+        # >1 fuses K (train + density-update) iterations into ONE jitted
+        # lax.scan program: through the tunneled TPU backend each
+        # dispatch costs ~0.5-2 s of latency, so K=16 cuts the per-step
+        # round trips ~32x. Auto-disabled while camera/exposure/envmap/
+        # distortion optimization needs per-step host gradients.
+        self.steps_per_dispatch = 1
+
         # camera optimization (nerf.h:88-110 defaults)
         self.optimize_extrinsics = False
         self.optimize_focal_length = False
@@ -204,63 +211,164 @@ class NerfTestbed:
             self._train_fns[key] = jax.jit(step, donate_argnums=(0,))
         return self._train_fns[key]
 
+    def _get_scanned_train_fn(self, n_rays: int, max_k: int, n_scan: int,
+                              mixed_density: bool):
+        """One jitted program running n_scan x (density update + train
+        step) via lax.scan — a single tunnel dispatch per block."""
+        has_error_map = self._error_map is not None
+        key = ("scan", n_rays, max_k, n_scan, mixed_density,
+               self._error_cdfs is not None, self._error_map_res,
+               has_error_map)
+        if key not in self._train_fns:
+            cfg = self._train_cfg(n_rays, max_k)
+            aabb_min = jnp.asarray(self.scene.aabb_min)
+            aabb_max = jnp.asarray(self.scene.aabb_max)
+            n_cascades = self.scene.max_cascade + 1
+            n_cells = NERF_GRID_N_CELLS * n_cascades
+            if self.density_samples_override is not None:
+                n_uni = self.density_samples_override
+                n_non = n_uni if mixed_density else 0
+            elif mixed_density:
+                n_uni = n_non = n_cells // 4
+            else:
+                n_uni, n_non = n_cells, 0
+            density_body = self._density_update_body(n_uni, n_non)
+
+            def block(state, density_grid, error_map, data, bitfield,
+                      mean_density, train_rngs, density_rngs, error_cdfs,
+                      decay):
+                def body(carry, rngs):
+                    st, grid, bf, mean, em = carry
+                    t_rng, d_rng = rngs
+                    params = self.optimizer.inference_params(st["opt"],
+                                                             st["params"])
+                    grid, bf, mean = density_body(params, grid, d_rng,
+                                                  decay)
+                    new_st, stats = nerf_train_step(
+                        self.model, self.optimizer, cfg, aabb_min,
+                        aabb_max, st, data, bf, mean, t_rng,
+                        error_cdfs=error_cdfs,
+                        error_map=em if has_error_map else None)
+                    em2 = stats["error_map"] if "error_map" in stats \
+                        else em
+                    out = {k: stats[k] for k in
+                           ("loss", "measured_batch_size",
+                            "measured_batch_size_before_compaction")}
+                    return (new_st, grid, bf, mean, em2), out
+
+                (state, density_grid, bitfield, mean_density, error_map
+                 ), seq = jax.lax.scan(
+                    body,
+                    (state, density_grid, bitfield, mean_density,
+                     error_map),
+                    (train_rngs, density_rngs))
+                last = {k: v[-1] for k, v in seq.items()}
+                return (state, density_grid, bitfield, mean_density,
+                        error_map, last)
+
+            self._train_fns[key] = jax.jit(block,
+                                           donate_argnums=(0, 1, 2))
+        return self._train_fns[key]
+
+    def _density_update_body(self, n_uniform: int, n_nonuniform: int):
+        """The pure per-step density-grid update (shared by the eager
+        path and the scanned block)."""
+        n_cascades = self.scene.max_cascade + 1
+        aabb_min = jnp.asarray(self.scene.aabb_min)
+        aabb_max = jnp.asarray(self.scene.aabb_max)
+        model = self.model
+        max_cascade = self.scene.max_cascade
+        density_activation = self.scene.density_activation
+        span = aabb_max - aabb_min
+
+        def update(params, density_grid, rng, decay):
+            from .model import network_to_density
+
+            k_cells, k_pos = jax.random.split(rng)
+            idx = sample_cells(k_cells, density_grid, 0, n_uniform,
+                               n_nonuniform, n_cascades)
+            comps = cell_positions(idx, k_pos)
+            warped = tuple((c - aabb_min[k]) / span[k]
+                           for k, c in enumerate(comps))
+            n_total = idx.shape[0]
+            chunk = 1 << 19
+            n_chunks = max((n_total + chunk - 1) // chunk, 1)
+            pad = n_chunks * chunk - n_total
+            stacked = jnp.stack([
+                jnp.pad(c, (0, pad)).reshape(n_chunks, chunk)
+                for c in warped])
+
+            def density_chunk(cols):
+                if hasattr(model.pos_encoding, "apply_components"):
+                    feats = model.pos_encoding.apply_components(
+                        params["pos_encoding"], [cols[0], cols[1],
+                                                 cols[2]])
+                else:
+                    feats = model.pos_encoding.apply(
+                        params["pos_encoding"],
+                        jnp.stack([cols[0], cols[1], cols[2]], -1))
+                return model.density_net.apply(
+                    params["density_net"], feats)[..., 0]
+
+            raw = jax.lax.map(density_chunk,
+                              jnp.transpose(stacked, (1, 0, 2)))
+            raw = raw.reshape(-1)[:n_total]
+            dens = network_to_density(raw, density_activation)
+            new_grid = splat_and_ema(density_grid, idx, dens, decay)
+            bitfield = update_bitfield(new_grid, max_cascade)
+            mean = density_grid_mean(new_grid)
+            return new_grid, bitfield, mean
+
+        return update
+
+    def _train_scanned_block(self, n_scan: int) -> None:
+        """Run n_scan steps in one dispatch (steps_per_dispatch path)."""
+        if self.training_step == 0 and not self.dataset.has_rays:
+            if self._visible_cells is None:
+                self._visible_cells = compute_visible_cells(
+                    self.data, self.scene)
+            self.density_grid = mark_untrained_cells(
+                self.density_grid, self._visible_cells)
+        self._maybe_init_error_map()
+        n_rays = self._bucket(self.rays_per_batch)
+        max_k = self._bucket_k(n_rays)
+        mixed = self.training_step >= 256
+        fn = self._get_scanned_train_fn(n_rays, max_k, n_scan, mixed)
+        base = jax.random.PRNGKey(self.seed)
+        train_rngs = jnp.stack([
+            jax.random.fold_in(base, self.training_step + j)
+            for j in range(n_scan)])
+        dbase = jax.random.PRNGKey(self.seed ^ 0xD3)
+        density_rngs = jnp.stack([
+            jax.random.fold_in(dbase, self.density_grid_ema_step + j)
+            for j in range(n_scan)])
+        em = self._error_map
+        if em is None:
+            em = jnp.zeros((1, 1), jnp.float32)  # unused placeholder
+        (self.state, self.density_grid, self.bitfield, self.mean_density,
+         em, stats) = fn(
+            self.state, self.density_grid, em, self.data, self.bitfield,
+            self.mean_density, train_rngs, density_rngs,
+            self._error_cdfs, 0.95)
+        if self._error_map is not None:
+            self._error_map = em
+            self._n_steps_since_error_update += n_scan
+            if self._n_steps_since_error_update >= \
+                    self.n_steps_between_error_map_updates:
+                self._rebuild_error_cdfs()
+                self._n_steps_since_error_update = 0
+        self.training_step += n_scan
+        self.density_grid_ema_step += n_scan
+        return stats
+
     # ------------------------------------------------------------------
     # density grid maintenance (training_prep_nerf)
     # ------------------------------------------------------------------
     def _get_density_fn(self, n_uniform: int, n_nonuniform: int):
         key = (n_uniform, n_nonuniform)
         if key not in self._density_fns:
-            n_cascades = self.scene.max_cascade + 1
-            aabb_min = jnp.asarray(self.scene.aabb_min)
-            aabb_max = jnp.asarray(self.scene.aabb_max)
-            model = self.model
-            max_cascade = self.scene.max_cascade
-            density_activation = self.scene.density_activation
-
-            span = aabb_max - aabb_min
-
-            def update(params, density_grid, rng, decay):
-                from .model import network_to_density
-
-                k_cells, k_pos = jax.random.split(rng)
-                idx = sample_cells(k_cells, density_grid, 0,
-                                   n_uniform, n_nonuniform, n_cascades)
-                comps = cell_positions(idx, k_pos)
-                warped = tuple((c - aabb_min[k]) / span[k]
-                               for k, c in enumerate(comps))
-
-                # chunked density eval (lax.map) bounds the (N, L*C)
-                # encoding intermediates to ~chunk x 128 lanes
-                n_total = idx.shape[0]
-                chunk = 1 << 19
-                n_chunks = max((n_total + chunk - 1) // chunk, 1)
-                pad = n_chunks * chunk - n_total
-                stacked = jnp.stack([
-                    jnp.pad(c, (0, pad)).reshape(n_chunks, chunk)
-                    for c in warped])                    # (3, nc, chunk)
-
-                def density_chunk(cols):
-                    if hasattr(model.pos_encoding, "apply_components"):
-                        feats = model.pos_encoding.apply_components(
-                            params["pos_encoding"],
-                            [cols[0], cols[1], cols[2]])
-                    else:
-                        feats = model.pos_encoding.apply(
-                            params["pos_encoding"],
-                            jnp.stack([cols[0], cols[1], cols[2]], -1))
-                    return model.density_net.apply(
-                        params["density_net"], feats)[..., 0]
-
-                raw = jax.lax.map(density_chunk,
-                                  jnp.transpose(stacked, (1, 0, 2)))
-                raw = raw.reshape(-1)[:n_total]
-                dens = network_to_density(raw, density_activation)
-                new_grid = splat_and_ema(density_grid, idx, dens, decay)
-                bitfield = update_bitfield(new_grid, max_cascade)
-                mean = density_grid_mean(new_grid)
-                return new_grid, bitfield, mean
-
-            self._density_fns[key] = jax.jit(update)
+            self._density_fns[key] = jax.jit(
+                self._density_update_body(n_uniform, n_nonuniform))
         return self._density_fns[key]
 
     def training_prep(self, decay: float = 0.95) -> None:
@@ -386,6 +494,25 @@ class NerfTestbed:
 
     def train(self, n_steps: int) -> float:
         """n_steps full training iterations (prep + step + adapt)."""
+        aux_active = (self.optimize_extrinsics or self.optimize_exposure
+                      or self.optimize_focal_length or self.train_envmap
+                      or self.optimize_distortion)
+        K = self.steps_per_dispatch
+        if K > 1 and not aux_active:
+            done = 0
+            while done < n_steps:
+                # keep blocks from straddling the 256-step density-
+                # cadence switch or overshooting the request
+                k = min(K, n_steps - done)
+                if self.training_step < 256:
+                    k = min(k, 256 - self.training_step)
+                with self.timers.time("training_prep"):
+                    stats = self._train_scanned_block(k)
+                done += k
+                with self.timers.time("train_sync"):
+                    self._sync_stats([stats])
+            return self.loss_scalar
+
         pending = []  # (stats, step_idx) not yet synced
         for i in range(n_steps):
             with self.timers.time("training_prep"):

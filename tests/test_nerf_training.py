@@ -138,6 +138,33 @@ def test_sampler_segments_are_consistent():
         assert (seg == r).all()
 
 
+def test_scanned_multi_step_dispatch_matches_eager():
+    """steps_per_dispatch>1 (one lax.scan program per block) must be
+    bit-identical to the eager per-step path."""
+    def mk():
+        tb = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
+        tb.target_batch_size = 1 << 12
+        tb.rays_per_batch = 256
+        tb.n_march = 96
+        tb.max_samples_per_ray = 32
+        tb.density_samples_override = 1 << 14
+        tb.adapt_ray_batch = False
+        return tb
+
+    tb1 = mk()
+    tb1.train(12)
+    tb2 = mk()
+    tb2.steps_per_dispatch = 4
+    tb2.train(12)
+    assert tb1.training_step == tb2.training_step == 12
+    p1 = np.asarray(tb1.state["params"]["pos_encoding"])
+    p2 = np.asarray(tb2.state["params"]["pos_encoding"])
+    np.testing.assert_array_equal(p1, p2)
+    g1 = np.asarray(tb1.density_grid)
+    g2 = np.asarray(tb2.density_grid)
+    np.testing.assert_array_equal(g1, g2)
+
+
 def test_camera_and_exposure_optimization_updates_offsets():
     tb = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
     tb.target_batch_size = 1 << 12
