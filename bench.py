@@ -69,8 +69,9 @@ def bench_image(queue):
     img = read_image("/root/reference/data/image/albert.exr")
     cfg = load_network_config(find_network_config("base.json", mode="image"))
     tb = ImageTestbed(img, cfg)
+    tb.steps_per_dispatch = 15  # one dispatch per bench block
     batch = 1 << 18
-    tb.train(3, batch_size=batch)
+    tb.train(15, batch_size=batch)
     t0 = time.perf_counter()
     n = 30
     tb.train(n, batch_size=batch)

@@ -89,6 +89,8 @@ class ImageTestbed:
         self.linear_colors = False
 
         self._train_n = None
+        # >1: fuse K steps into one lax.scan dispatch (tunnel latency)
+        self.steps_per_dispatch = 1
         self._train_fn = None
 
     # ------------------------------------------------------------------
@@ -134,10 +136,9 @@ class ImageTestbed:
     # training
     # ------------------------------------------------------------------
     def _make_train_fn(self, batch_size: int):
-        """One fused, donated jit step. We deliberately do NOT lax.scan over
-        steps: scanning the train step made XLA-TPU compile times explode
-        (minutes vs ~30 s for the single step), while a Python loop over an
-        async-dispatched jitted step keeps the device saturated anyway."""
+        """One fused, donated jit step (or, with steps_per_dispatch > 1,
+        a lax.scan block of them — one dispatch per block, which matters
+        when every dispatch pays tunnel latency)."""
         mode = self.random_mode
         seed = self.seed
 
@@ -157,20 +158,47 @@ class ImageTestbed:
             positions, targets = self._fetch_targets(image, positions)
             return self.trainer.train_step(state, positions, targets)
 
+        if self.steps_per_dispatch > 1:
+            def block(state, image, step0, keys):
+                steps = step0 + jnp.arange(keys.shape[0])
+
+                def body(st, xs):
+                    step, key = xs
+                    return one_step(st, image, step, key)
+
+                return jax.lax.scan(body, state, (steps, keys))
+
+            return jax.jit(block, donate_argnums=(0,))
         return jax.jit(one_step, donate_argnums=(0,))
 
     def train(self, n_steps: int, batch_size: int = 1 << 18) -> float:
         """Run n_steps training steps; returns last loss."""
-        if self._train_n != batch_size:
+        cache_key = (batch_size, min(self.steps_per_dispatch, n_steps))
+        if self._train_n != cache_key:
             self._train_fn = self._make_train_fn(batch_size)
-            self._train_n = batch_size
+            self._train_n = cache_key
         base_key = jax.random.PRNGKey(self.seed)
         loss = None
-        for _ in range(n_steps):
-            key = jax.random.fold_in(base_key, self.training_step)
-            self.state, loss = self._train_fn(
-                self.state, self.image, jnp.asarray(self.training_step), key)
-            self.training_step += 1
+        if self.steps_per_dispatch > 1:
+            done = 0
+            while done < n_steps:
+                k = min(self.steps_per_dispatch, n_steps - done)
+                keys = jnp.stack([
+                    jax.random.fold_in(base_key, self.training_step + j)
+                    for j in range(k)])
+                self.state, losses = self._train_fn(
+                    self.state, self.image,
+                    jnp.asarray(self.training_step), keys)
+                self.training_step += k
+                done += k
+                loss = losses[-1]
+        else:
+            for _ in range(n_steps):
+                key = jax.random.fold_in(base_key, self.training_step)
+                self.state, loss = self._train_fn(
+                    self.state, self.image, jnp.asarray(self.training_step),
+                    key)
+                self.training_step += 1
         self.loss_scalar = float(loss)
         return self.loss_scalar
 

@@ -43,6 +43,21 @@ def test_image_training_psnr_increases():
     assert p1 > 20
 
 
+def test_image_scanned_dispatch_matches_eager():
+    import jax
+
+    img = synthetic_image(32, 32)
+    tb1 = ImageTestbed(img, SMALL_CFG, compute_dtype=jnp.float32)
+    tb1.train(8, batch_size=512)
+    tb2 = ImageTestbed(img, SMALL_CFG, compute_dtype=jnp.float32)
+    tb2.steps_per_dispatch = 4
+    tb2.train(8, batch_size=512)
+    l1 = jax.tree_util.tree_leaves(tb1.state["params"])
+    l2 = jax.tree_util.tree_leaves(tb2.state["params"])
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_image_random_modes_all_train():
     for mode in ["Random", "Halton", "Sobol", "Stratified"]:
         tb = ImageTestbed(synthetic_image(32, 32), SMALL_CFG,
