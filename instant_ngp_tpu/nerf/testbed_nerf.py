@@ -693,11 +693,27 @@ class NerfTestbed:
         depth_acc = jnp.zeros((n_pixels,), jnp.float32)
         for s in range(spp):
             jitter = None if spp == 1 else ld_pixel_offset(s)
-            origins, dirs = camera_rays_for_frame(
-                width, height, fl, camera_matrix,
-                screen_center=screen_center, lens_mode=lens_mode,
-                lens_params=lens_params, distortion_map=dist_map,
-                jitter=jitter)
+            # jitted + cached: lens undistortion is dozens of small ops
+            # (Newton iterations) — eager dispatch would pay per-op
+            # latency on the tunneled backend every frame
+            if not hasattr(self, "_ray_fns"):
+                self._ray_fns = {}
+            rk = (width, height, lens_mode, lens_params is not None,
+                  dist_map is not None, jitter is not None)
+            if rk not in self._ray_fns:
+                self._ray_fns[rk] = jax.jit(
+                    lambda fl, cam, sc, lp, dm, jit_off:
+                    camera_rays_for_frame(
+                        width, height, fl, cam, screen_center=sc,
+                        lens_mode=lens_mode, lens_params=lp,
+                        distortion_map=dm, jitter=jit_off))
+            origins, dirs = self._ray_fns[rk](
+                jnp.asarray(fl, jnp.float32),
+                jnp.asarray(camera_matrix, jnp.float32),
+                jnp.asarray(screen_center, jnp.float32),
+                None if lens_params is None
+                else jnp.asarray(lens_params, jnp.float32),
+                dist_map, jitter)
             n_pad = (n_pixels + tile - 1) // tile * tile
             o = jnp.concatenate(
                 [origins, jnp.zeros((n_pad - n_pixels, 3))])

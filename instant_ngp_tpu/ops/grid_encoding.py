@@ -324,3 +324,23 @@ class GridEncoding(Encoding):
                                 preferred_element_type=jnp.float32))
         out = jnp.stack(outs, axis=-1)                           # (N, L, F)
         return out.reshape(n, self.n_output_dims).astype(self.dtype)
+
+    def level_stats(self, params: jax.Array):
+        """Per-level parameter statistics (the reference's LevelStats /
+        gather_histograms diagnostics, testbed.h:370-384, testbed.cu:1719-
+        1747): list of dicts with min/max/mean/sigma/fraczero/count."""
+        params = np.asarray(params)
+        stats = []
+        for lvl in range(self.n_levels):
+            t = np.asarray(self.level_params(params, lvl)).ravel()
+            nz = t[t != 0.0]
+            n = t.size
+            stats.append({
+                "min": float(t.min()) if n else 0.0,
+                "max": float(t.max()) if n else 0.0,
+                "mean": float(t.mean()) if n else 0.0,
+                "sigma": float(t.std()) if n else 0.0,
+                "fraczero": float(1.0 - nz.size / n) if n else 0.0,
+                "count": int(n),
+            })
+        return stats
