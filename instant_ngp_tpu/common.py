@@ -82,6 +82,13 @@ class GroundTruthRenderMode(enum.Enum):
     SSIM = "SSIM"
 
 
+class SDFGroundTruthMode(enum.Enum):
+    # reference: common.h:146-150 ESDFGroundTruthMode
+    RaytracedMesh = "RaytracedMesh"
+    SpheretracedMesh = "SpheretracedMesh"
+    SDFBricks = "SDFBricks"
+
+
 class MeshSdfMode(enum.Enum):
     # reference: common.h:98-103 EMeshSdfMode
     Watertight = "Watertight"

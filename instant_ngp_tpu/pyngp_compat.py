@@ -6,7 +6,8 @@ leaves it out of pyngp, python_api.cu:268-273)."""
 
 from .common import (Activation, ColorSpace,  # noqa: F401
                      GroundTruthRenderMode, LensMode, LossType,
-                     MeshSdfMode, RenderMode, TestbedMode, TonemapCurve)
+                     MeshSdfMode, RenderMode, SDFGroundTruthMode,
+                     TestbedMode, TonemapCurve)
 from .testbed import Testbed, mode_from_scene  # noqa: F401
 
 # pyngp spells the mode enum values like this
