@@ -35,12 +35,14 @@ def bench_nerf(queue):
     cfg = load_network_config(find_network_config("base.json", mode="nerf"))
     tb = NerfTestbed(ds, cfg)
     # pin the ray bucket near the steady state so the whole bench uses ONE
-    # compiled train program (tunnel compiles cost minutes), and fuse 16
-    # steps per dispatch so tunnel round-trip latency doesn't dominate
+    # compiled train program (tunnel compiles cost minutes). NOTE: the
+    # scanned multi-step path (steps_per_dispatch>1) is bit-exact on CPU
+    # but crashes the TPU worker (Mosaic fault with the nested-scan train
+    # body, 2026-08); the eager path is compute-bound anyway (async
+    # dispatch hides tunnel latency).
     tb.rays_per_batch = 1 << 11
     tb.adapt_ray_batch = False
-    tb.steps_per_dispatch = 16
-    tb.train(16)           # compiles
+    tb.train(1)            # compiles
     tb.train(16)           # warm
     t0 = time.perf_counter()
     n = 64
