@@ -249,8 +249,10 @@ def march_rays(rays: RayBatch, bitfield: jax.Array, aabb_min, aabb_max,
         return (t_next, n_new, alive), (t, dt, emit)
 
     init = (rays.t_start, jnp.zeros(o.shape[0], jnp.int32), rays.valid)
+    # unroll: amortize per-iteration loop overhead (XLA while-loop trip
+    # costs dominate a 1024-trip scan of tiny (R,) vector bodies on TPU)
     (_, n_final, _), (ts, dts, emits) = jax.lax.scan(
-        body, init, None, length=n_march)
+        body, init, None, length=n_march, unroll=8)
     return ts, dts, emits
 
 
