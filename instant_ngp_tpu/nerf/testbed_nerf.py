@@ -99,6 +99,11 @@ class NerfTestbed:
         # (all cells for the first 256 steps, then 1/4 + 1/4)
         self.density_samples_override = None
 
+        # route the density-grid eval's hash encoding through the Pallas
+        # VMEM-resident-table kernel (forward-only path; ~10x fewer HBM
+        # random accesses). Enable after on-hardware validation.
+        self.use_pallas_density = False
+
         # >1 fuses K (train + density-update) iterations into ONE jitted
         # lax.scan program: through the tunneled TPU backend each
         # dispatch costs ~0.5-2 s of latency, so K=16 cuts the per-step
@@ -281,6 +286,12 @@ class NerfTestbed:
         density_activation = self.scene.density_activation
         span = aabb_max - aabb_min
 
+        use_pallas = False
+        if self.use_pallas_density:
+            from ..ops.pallas import grid_kernels_v2 as gk2
+
+            use_pallas = gk2.supports(model.pos_encoding)
+
         def update(params, density_grid, rng, decay):
             from .model import network_to_density
 
@@ -298,8 +309,21 @@ class NerfTestbed:
                 jnp.pad(c, (0, pad)).reshape(n_chunks, chunk)
                 for c in warped])
 
+            packed_table = None
+            if use_pallas:
+                from ..ops.pallas import grid_kernels_v2 as gk2
+
+                packed_table = gk2.pack_table(model.pos_encoding,
+                                              params["pos_encoding"])
+
             def density_chunk(cols):
-                if hasattr(model.pos_encoding, "apply_components"):
+                if packed_table is not None:
+                    from ..ops.pallas import grid_kernels_v2 as gk2
+
+                    feats = gk2.grid_encode_pallas_v2(
+                        model.pos_encoding, packed_table,
+                        [cols[0], cols[1], cols[2]])
+                elif hasattr(model.pos_encoding, "apply_components"):
                     feats = model.pos_encoding.apply_components(
                         params["pos_encoding"], [cols[0], cols[1],
                                                  cols[2]])
@@ -365,7 +389,7 @@ class NerfTestbed:
     # density grid maintenance (training_prep_nerf)
     # ------------------------------------------------------------------
     def _get_density_fn(self, n_uniform: int, n_nonuniform: int):
-        key = (n_uniform, n_nonuniform)
+        key = (n_uniform, n_nonuniform, self.use_pallas_density)
         if key not in self._density_fns:
             self._density_fns[key] = jax.jit(
                 self._density_update_body(n_uniform, n_nonuniform))
