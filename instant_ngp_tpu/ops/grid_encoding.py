@@ -37,6 +37,14 @@ from .encodings import Encoding
 _PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
 
 
+def _feat_reduce(L: int, C: int, F: int, feat: int) -> np.ndarray:
+    """(L*C, L*F) one-hot: column l*F+feat sums level l's corners."""
+    m = np.zeros((L * C, L * F), np.float32)
+    base = np.kron(np.eye(L, dtype=np.float32), np.ones((C, 1), np.float32))
+    m[:, feat::F] = base
+    return m
+
+
 def grid_scale(level: int, log2_per_level_scale: float, base_resolution: int) -> float:
     return float(np.exp2(level * log2_per_level_scale) * base_resolution - 1.0)
 
@@ -249,6 +257,14 @@ class GridEncoding(Encoding):
             # one-hot (L*C, L) reduction matrix: corner sum as one matmul
             "reduce": np.kron(np.eye(L, dtype=np.float32),
                               np.ones((C, 1), np.float32)),
+            # per-feature (L*C, L*F) interleaving reducers: column l*F+k
+            # sums corner contributions of level l for feature k. Folding
+            # the feature interleave into the matmul avoids a rank-3
+            # (N, L, F) stack whose F-lane minor dim tile-pads 64x on
+            # TPU (measured: 2.3 s -> ms for a 1M-sample forward).
+            "reduce_feat": [
+                _feat_reduce(L, C, self.n_features_per_level, k)
+                for k in range(self.n_features_per_level)],
             "level_of": rep(np.arange(L)).astype(np.int32),
         }
         self._fc = fc
@@ -316,14 +332,14 @@ class GridEncoding(Encoding):
             lvl = jnp.asarray(fc["level_of"])[None, :]
             weight = weight * (jnp.asarray(max_level) >= lvl)
 
-        reduce_m = jnp.asarray(fc["reduce"])                     # (LC, L)
-        outs = []
+        out = None
         for feat in range(f):
             vals = params[entry * f + feat]                      # (N, LC)
-            outs.append(jnp.dot(vals * weight, reduce_m,
-                                preferred_element_type=jnp.float32))
-        out = jnp.stack(outs, axis=-1)                           # (N, L, F)
-        return out.reshape(n, self.n_output_dims).astype(self.dtype)
+            contrib = jnp.dot(vals * weight,
+                              jnp.asarray(fc["reduce_feat"][feat]),
+                              preferred_element_type=jnp.float32)
+            out = contrib if out is None else out + contrib      # (N, L*F)
+        return out.astype(self.dtype)
 
     def level_stats(self, params: jax.Array):
         """Per-level parameter statistics (the reference's LevelStats /
