@@ -65,15 +65,21 @@ def pack_table(enc, params: jax.Array) -> jax.Array:
 
 
 def grid_encode_pallas_v2(enc, table: jax.Array, comps,
-                          tile: int = 2048, interpret: bool = False
+                          tile: int = 0, interpret: bool = False
                           ) -> jax.Array:
-    """table from pack_table; comps = 3 (N,) arrays. Returns (N, L*F)."""
+    """table from pack_table; comps = 3 (N,) arrays. Returns (N, L*F).
+
+    The point tile size EQUALS the packed table's row count: Mosaic's
+    dynamic_gather (sublane permute) requires index shape == operand
+    shape, so each (rows, 128) table block serves exactly `rows` points
+    per grid step."""
     n = comps[0].shape[0]
     d = enc.n_dims
     f = enc.n_features_per_level
     L = enc.n_levels
     G = _group(enc)
     rows = table.shape[2]
+    tile = rows  # dynamic_gather constraint (see docstring)
 
     n_pad = (n + tile - 1) // tile * tile
     x_p = jnp.zeros((8, n_pad), jnp.float32)
@@ -139,10 +145,11 @@ def grid_encode_pallas_v2(enc, table: jax.Array, comps,
                 row = flat0 >> 7
                 lane0 = flat0 & 127
                 # per-lane sublane gather (Mosaic dynamic_gather):
-                # out[i, l] = tbl[row[i], l]
+                # out[i, l] = tbl[row[i], l]; requires idx shape ==
+                # table shape, hence tile == rows
                 row_vals = jnp.take_along_axis(
-                    tbl, jnp.broadcast_to(row[:, None], (tile, 128)),
-                    axis=0)                                # (T, 128)
+                    tbl, jnp.broadcast_to(row[:, None], (rows, 128)),
+                    axis=0)                                # (rows, 128)
                 weight = jnp.ones((tile,), jnp.float32)
                 for k in range(d):
                     weight = weight * (w[k] if offs[k] == 1 else 1 - w[k])
