@@ -142,6 +142,49 @@ def mip_from_pos(pos: jax.Array, max_cascade: int) -> jax.Array:
     return jnp.clip(exponent + 1, 0, max_cascade)
 
 
+# Component-separated variants: callers that hold million-element (R, M)
+# position planes per axis use these so no (..., 3)-minor-dim buffer is
+# ever materialized (a trailing dim of 3 tile-pads 42x on TPU).
+
+def cascaded_grid_idx_at_comps(comps, mip: jax.Array
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """comps: 3 arrays (...,); mip (...,). -> (morton idx, valid)."""
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))
+    ijk = []
+    valid = None
+    for c in comps:
+        p = (c - 0.5) * mip_scale + 0.5
+        i = jnp.floor(p * NERF_GRIDSIZE).astype(jnp.int32)
+        v = (i >= 0) & (i < NERF_GRIDSIZE)
+        valid = v if valid is None else (valid & v)
+        ijk.append(jnp.clip(i, 0, NERF_GRIDSIZE - 1))
+    return morton3d(ijk[0], ijk[1], ijk[2]), valid
+
+
+def density_grid_occupied_at_comps(comps, bitfield: jax.Array,
+                                   mip: jax.Array) -> jax.Array:
+    idx, valid = cascaded_grid_idx_at_comps(comps, mip)
+    byte_idx = idx // 8 + grid_mip_offset(mip) // 8
+    byte = bitfield[byte_idx]
+    bit = (byte >> (idx % 8).astype(jnp.uint8)) & jnp.uint8(1)
+    return valid & (bit != 0)
+
+
+def mip_from_pos_comps(comps, max_cascade: int) -> jax.Array:
+    maxval = jnp.maximum(jnp.maximum(jnp.abs(comps[0] - 0.5),
+                                     jnp.abs(comps[1] - 0.5)),
+                         jnp.abs(comps[2] - 0.5))
+    _, exponent = jnp.frexp(maxval)
+    return jnp.clip(exponent + 1, 0, max_cascade)
+
+
+def mip_from_dt_comps(dt: jax.Array, comps, max_cascade: int) -> jax.Array:
+    mip = mip_from_pos_comps(comps, max_cascade)
+    d = dt * 2 * NERF_GRIDSIZE
+    _, exponent = jnp.frexp(d)
+    return jnp.where(d < 1.0, mip, jnp.clip(mip, exponent, max_cascade))
+
+
 def mip_from_dt(dt: jax.Array, pos: jax.Array, max_cascade: int) -> jax.Array:
     """At least the mip whose cell size matches dt (nerf_device.cuh:454)."""
     mip = mip_from_pos(pos, max_cascade)

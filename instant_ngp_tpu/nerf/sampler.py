@@ -10,11 +10,11 @@ anti-pattern on TPU (SURVEY.md §7 hard parts). Here:
    jitter the start along the first step (matching `startt =
    advance_n_steps(tmin, cone, rand)`).
 
-2. `march_rays`: a fixed-trip-count lax.scan; each iteration either emits
-   one sample (occupied cell: advance one cone step) or skips across the
-   current empty voxel at the largest empty mip (DDA, mip-escalated).
-   Produces a time-ordered (n_march, R) stream of candidate samples —
-   masked, fixed shape, no atomics.
+2. `march_rays`: evaluates occupancy at an ANALYTIC (R, K) candidate
+   grid — every position the reference's sequential DDA march could
+   visit is `from_stepping_space(s0 + k)`, so emissions are computed for
+   all k in parallel with zero sequential dependence (see the function
+   docstring for the equivalence argument). No scan, no unroll.
 
 3. `compact_samples`: ray-major prefix-sum compaction of the masked
    stream into a flat (capacity,) sample buffer plus per-ray (base,
@@ -37,10 +37,11 @@ import numpy as np
 from ..camera import uv_to_ray, xform_with_rolling_shutter
 from ..common import NERF_CASCADES
 from .dataset import NerfTrainingData, read_rgba
-from .march import (MAX_DEPTH, advance_n_steps, advance_to_next_voxel,
-                    aabb_contains, calc_dt, density_grid_occupied_at,
-                    mip_from_dt, mip_from_pos, ray_intersect_aabb,
-                    warp_direction, warp_dt, warp_position)
+from .march import (MAX_DEPTH, advance_n_steps, aabb_contains, calc_dt,
+                    density_grid_occupied_at_comps, from_stepping_space,
+                    mip_from_dt_comps, mip_from_pos, ray_intersect_aabb,
+                    to_stepping_space, warp_direction, warp_dt,
+                    warp_position)
 
 
 class RayBatch(NamedTuple):
@@ -211,95 +212,91 @@ def march_rays(rays: RayBatch, bitfield: jax.Array, aabb_min, aabb_max,
                cone_angle: float, max_mip: int, n_march: int,
                max_samples_per_ray: int
                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Fixed-iteration occupancy-guided march.
+    """Occupancy-guided march over an ANALYTIC candidate grid.
 
-    Returns (ts, dts, is_sample) each (n_march, R): the time-ordered
-    candidate stream. Lanes stop by mask when they exit the aabb or hit
-    max_samples_per_ray (reference NERF_STEPS cap)."""
+    Returns (ts, dts, is_sample) each (R, n_march), time-ordered along
+    the minor axis.
+
+    TPU-native key insight: the reference's sequential DDA march
+    (testbed_nerf.cu:679-838 via nerf_device.cuh:430-492) always lands on
+    integer stepping-space coordinates — `advance_to_next_voxel` rounds
+    its skip up to a whole number of cone steps. So the set of positions
+    it EVER visits is exactly {from_stepping_space(s0 + k)}, and because
+    the occupancy bitfield is max-pooled across mips (coarse empty =>
+    fine empty), a candidate skipped by DDA would have tested empty at
+    its own mip too. Evaluating occupancy at ALL candidates in parallel
+    therefore emits the bit-identical sample set with ZERO sequential
+    dependence: no scan, no unroll, no per-trip compile cost — one
+    (R, K)-shaped vector computation plus one bitfield gather.
+    """
     o, d = rays.origins, rays.dirs
-    idir = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
-                           jnp.where(d < 0, -1e-12, 1e-12), d)
+    s0 = to_stepping_space(rays.t_start, cone_angle)               # (R,)
+    k = jnp.arange(n_march, dtype=jnp.float32)                     # (M,)
+    ts = from_stepping_space(s0[:, None] + k[None, :], cone_angle)  # (R,M)
+    dts = calc_dt(ts, cone_angle)
 
-    def body(carry, _):
-        t, n_emitted, alive = carry
-        pos = o + t[:, None] * d
-        inside = aabb_contains(pos, aabb_min, aabb_max) & alive
-        dt = calc_dt(t, cone_angle)
-        mip = jnp.clip(mip_from_dt(dt, pos, max_mip), 0, max_mip)
-        occupied = density_grid_occupied_at(pos, bitfield, mip)
+    # component-separated (R, M) position planes (no minor-dim-3 buffer)
+    pos = [o[:, c, None] + ts * d[:, c, None] for c in range(3)]
+    inside = None
+    for c in range(3):
+        v = (pos[c] >= aabb_min[c]) & (pos[c] <= aabb_max[c])
+        inside = v if inside is None else (inside & v)
 
-        # mip escalation over empty space: climb while the parent cell is
-        # also empty, to take the largest possible DDA step
-        # (nerf_device.cuh:483-486)
-        esc_mip = mip
-        for _ in range(NERF_CASCADES - 1):
-            parent_empty = ~density_grid_occupied_at(
-                pos, bitfield, jnp.minimum(esc_mip + 1, max_mip))
-            esc_mip = jnp.where((esc_mip < max_mip) & parent_empty & ~occupied,
-                                esc_mip + 1, esc_mip)
+    mip = jnp.clip(mip_from_dt_comps(dts, pos, max_mip), 0, max_mip)
+    occupied = density_grid_occupied_at_comps(pos, bitfield, mip)
 
-        emit = inside & occupied
-        t_next = jnp.where(
-            emit, t + dt,
-            advance_to_next_voxel(t, cone_angle, pos, d, idir, esc_mip))
-        t_next = jnp.where(inside, t_next, t)
-
-        n_new = n_emitted + emit.astype(jnp.int32)
-        alive = alive & inside & (n_new < max_samples_per_ray)
-        return (t_next, n_new, alive), (t, dt, emit)
-
-    init = (rays.t_start, jnp.zeros(o.shape[0], jnp.int32), rays.valid)
-    # unroll: amortize per-iteration loop overhead (XLA while-loop trip
-    # costs dominate a 1024-trip scan of tiny (R,) vector bodies on TPU)
-    (_, n_final, _), (ts, dts, emits) = jax.lax.scan(
-        body, init, None, length=n_march, unroll=8)
-    return ts, dts, emits
+    emit = inside & occupied & rays.valid[:, None]
+    # per-ray sample cap (reference NERF_STEPS): emissions beyond the cap
+    # are masked — the scan stopped the lane at the same count
+    n_cum = jnp.cumsum(emit.astype(jnp.int32), axis=1)
+    emit = emit & (n_cum <= max_samples_per_ray)
+    return ts, dts, emit
 
 
 def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
                     emits: jax.Array, aabb_min, aabb_max,
                     capacity: int,
                     extra_dims: Optional[jax.Array] = None) -> SampleBatch:
-    """Prefix-sum compaction of the (n_march, R) stream into (capacity,)
-    flat buffers, ray-major so each ray's samples are contiguous and
-    time-ordered."""
-    n_march, n_rays = emits.shape
-    # per-ray slot of each emitted sample (time order = scan order)
-    slot = jnp.cumsum(emits, axis=0) - emits.astype(jnp.int32)
-    count = jnp.sum(emits, axis=0).astype(jnp.int32)          # (R,)
+    """Prefix-sum compaction of the (R, n_march) candidate grid into
+    (capacity,) flat buffers, ray-major so each ray's samples are
+    contiguous and time-ordered.
+
+    Random-access traffic is ONE index scatter (R*M elements) + ONE
+    source-index gather per derived field on the compacted (capacity,)
+    domain — everything else (positions, dirs, warps) is recomputed
+    arithmetically from (ray_id, t), instead of scattering nine separate
+    (R*M,) value planes."""
+    n_rays, n_march = emits.shape
+    e = emits.astype(jnp.int32)
+    slot = jnp.cumsum(e, axis=1) - e                           # (R, M)
+    count = jnp.sum(e, axis=1)                                 # (R,)
     base = jnp.cumsum(count) - count                           # (R,)
-    flat_pos = base[None, :] + slot                            # (n_march, R)
-    flat_pos = jnp.where(emits, flat_pos, capacity)            # drop invalid
+    flat_pos = jnp.where(emits, base[:, None] + slot, capacity)
     flat_pos = jnp.minimum(flat_pos, capacity)                 # clamp tail
 
+    # single scatter: compacted slot -> flat candidate index
+    src = jnp.zeros(capacity + 1, jnp.int32)
+    src = src.at[flat_pos.reshape(-1)].set(
+        jnp.arange(n_rays * n_march, dtype=jnp.int32),
+        mode="drop")[:capacity]
+
+    ray_id = src // n_march                                    # (S,)
+    t_flat = ts.reshape(-1)[src]
+    dt_flat = warp_dt(dts.reshape(-1)[src])
+
     o, d = rays.origins, rays.dirs
-    warped_dt = warp_dt(dts)
-
-    def scatter(values):
-        """(M, R) values -> (capacity,) compacted."""
-        out = jnp.zeros(capacity + 1, values.dtype)
-        return out.at[flat_pos.reshape(-1)].set(
-            values.reshape(-1), mode="drop")[:capacity]
-
     span = aabb_max - aabb_min
-    positions = tuple(
-        scatter((o[None, :, k] + ts * d[None, :, k] - aabb_min[k])
-                / span[k])
-        for k in range(3))
-    dirs = tuple(
-        scatter(jnp.broadcast_to(((d[:, k] + 1.0) * 0.5)[None], ts.shape))
-        for k in range(3))
-    dt_flat = scatter(warped_dt)
-    t_flat = scatter(ts)
-    ray_ids = jnp.broadcast_to(
-        jnp.arange(n_rays, dtype=jnp.int32)[None], emits.shape)
-    ray_id_flat = scatter(ray_ids)
+    o_r = [o[ray_id, k] for k in range(3)]
+    d_r = [d[ray_id, k] for k in range(3)]
+    positions = tuple((o_r[k] + t_flat * d_r[k] - aabb_min[k]) / span[k]
+                      for k in range(3))
+    dirs = tuple((d_r[k] + 1.0) * 0.5 for k in range(3))
 
     n_samples = jnp.minimum(base[-1] + count[-1], capacity)
     # clip per-ray segments to the capacity
     base_c = jnp.minimum(base, capacity)
     count_c = jnp.minimum(count, capacity - base_c)
-    return SampleBatch(positions, dirs, dt_flat, t_flat, ray_id_flat,
+    return SampleBatch(positions, dirs, dt_flat, t_flat, ray_id,
                        base_c, count_c, n_samples)
 
 

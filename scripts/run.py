@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument("--eval_downscale", type=int, default=1)
     p.add_argument("--eval_views", type=int, default=0,
                    help="limit number of eval views (0 = all)")
+    p.add_argument("--eval_spp", type=int, default=8,
+                   help="samples per pixel for --test_transforms eval")
+    p.add_argument("--flip", action="store_true",
+                   help="also report the FLIP perceptual metric")
     p.add_argument("--nerf_compatibility", action="store_true",
                    help="match paper conditions: sRGB space, cone angle 0")
     p.add_argument("--train", action="store_true")
@@ -106,19 +110,20 @@ def main():
         print("saved snapshot", args.save_snapshot)
 
     if args.test_transforms and testbed.mode == TestbedMode.Nerf:
-        from instant_ngp_tpu.metrics import compute_error, psnr
+        # reference run.py:210-268: load the GIVEN transforms, render each
+        # of ITS views at spp 8 / black bg / min transmittance 1e-4,
+        # report PSNR avg/min/max + SSIM (+FLIP with --flip)
+        from instant_ngp_tpu.eval import eval_test_transforms
 
-        impl = testbed.impl
-        n_views = impl.data.n_images
-        if args.eval_views:
-            n_views = min(n_views, args.eval_views)
-        psnrs, ssims = [], []
-        for i in range(n_views):
-            p = impl.eval_psnr(i, spp=1, downscale=args.eval_downscale)
-            psnrs.append(p)
-            print(f"  view {i}: PSNR {p:.2f}", flush=True)
-        print(f"PSNR avg={np.mean(psnrs):.3f} min={np.min(psnrs):.3f} "
-              f"max={np.max(psnrs):.3f}")
+        r = eval_test_transforms(
+            testbed.impl, args.test_transforms, spp=args.eval_spp,
+            limit=args.eval_views, downscale=args.eval_downscale,
+            with_flip=args.flip)
+        line = (f"PSNR avg={r['psnr_avg']:.3f} min={r['psnr_min']:.3f} "
+                f"max={r['psnr_max']:.3f} SSIM avg={r['ssim_avg']:.4f}")
+        if args.flip:
+            line += f" FLIP avg={r['flip_avg']:.4f}"
+        print(line)
 
     if args.save_mesh and testbed.mode == TestbedMode.Nerf:
         testbed.save_mesh(args.save_mesh,
