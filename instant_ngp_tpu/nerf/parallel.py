@@ -28,84 +28,77 @@ from .training import NerfTrainStepConfig, nerf_train_step
 
 def make_sharded_train_step(model, optimizer, cfg: NerfTrainStepConfig,
                             aabb_min, aabb_max, mesh: Mesh,
-                            axis: str = "data"):
-    """Returns step(state, data, bitfield, mean_density, keys) where
-    `keys` is (n_devices, 2) uint32 PRNG keys, one per chip. cfg.n_rays is
-    the PER-CHIP ray count; the effective batch is n_rays * n_devices."""
-    n_dev = mesh.shape[axis]
+                            axis: str = "data",
+                            with_error_map: bool = False):
+    """Returns step(state, data, bitfield, mean_density, keys, cam,
+    error_cdfs, error_map, envmap, distortion) where `keys` is
+    (n_devices, 2) uint32 PRNG keys, one per chip. cfg.n_rays is the
+    PER-CHIP ray count; the effective batch is n_rays * n_devices.
 
-    def local_step(state, data, bitfield, mean_density, keys):
-        key = keys[0]  # this shard's key
+    This is the SAME nerf_train_step as single-chip training — not a
+    fork: `axis_name` makes the gradient pmean (and stat / error-map /
+    aux-gradient psums) the only collectives, so every feature (camera/
+    exposure/envmap/distortion optimization, error-map importance
+    sampling, depth supervision) works sharded."""
 
-        # run sample generation + march + loss/grad locally; reuse the
-        # single-chip step but intercept the optimizer: gradients must
-        # all-reduce BEFORE the update so params stay replicated.
-        from .sampler import (compact_samples, generate_rays, march_rays,
-                              pad_samples_per_ray)
-        from .training import composite_loss, _srgb_to_linear
-
-        k_rays, k_bg = jax.random.split(key)
-        rays, _ = generate_rays(k_rays, data, cfg.n_rays, aabb_min,
-                                aabb_max, cfg.cone_angle, cfg.lens_mode,
-                                cfg.snap_to_pixel_centers)
-        ts, dts, emits = march_rays(rays, bitfield, aabb_min, aabb_max,
-                                    cfg.cone_angle, cfg.max_mip,
-                                    cfg.n_march, cfg.max_samples_per_ray)
-        samples = compact_samples(rays, ts, dts, emits, aabb_min, aabb_max,
-                                  cfg.sample_capacity)
-        bg = _srgb_to_linear(jax.random.uniform(k_bg, (cfg.n_rays, 3))
-                             if cfg.random_bg_color
-                             else jnp.zeros((cfg.n_rays, 3)))
-        exposure = data.exposures[rays.img_idx]
-
-        def loss_fn(params):
-            raw = model.apply_components(params, samples.positions,
-                                         samples.dirs)
-            padded = []
-            for c in raw:
-                pc, mask = pad_samples_per_ray(samples, c,
-                                               cfg.max_samples_per_ray)
-                padded.append(pc)
-            dt_padded, _ = pad_samples_per_ray(
-                samples, samples.dts, cfg.max_samples_per_ray)
-            t_padded, _ = pad_samples_per_ray(
-                samples, samples.t_mid, cfg.max_samples_per_ray)
-            result = composite_loss(
-                tuple(padded), mask, dt_padded, t_padded, rays, bg,
-                exposure, cfg.rgb_activation, cfg.density_activation,
-                cfg.loss_type, mean_density, cfg.near_distance,
-                cfg.train_in_linear_colors)
-            return result.loss_for_grad, result
-
-        (_, result), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state["params"])
-
-        # ---- the one collective: gradient all-reduce over ICI ----
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g, axis), grads)
-
-        from ..ops.trainer import default_l2_mask
-
-        new_params, new_opt = optimizer.step(
-            state["opt"], state["params"], grads,
-            l2_mask=default_l2_mask(state["params"]))
-
-        stats = {
-            "loss": jax.lax.psum(
-                jnp.sum(result.per_ray_loss), axis) / (cfg.n_rays * n_dev),
-            "measured_batch_size": jax.lax.psum(
-                result.measured_compacted, axis),
-            "measured_batch_size_before_compaction": jax.lax.psum(
-                samples.n_samples, axis),
-        }
-        return {"params": new_params, "opt": new_opt}, stats
+    def local_step(state, data, bitfield, mean_density, keys, cam,
+                   error_cdfs, error_map, envmap, distortion):
+        return nerf_train_step(
+            model, optimizer, cfg, aabb_min, aabb_max, state, data,
+            bitfield, mean_density, keys[0], cam=cam,
+            error_cdfs=error_cdfs, error_map=error_map, envmap=envmap,
+            distortion=distortion, axis_name=axis)
 
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis)),
+        in_specs=(P(), P(), P(), P(), P(axis), P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_rep=False)
-    return jax.jit(sharded, donate_argnums=(0,))
+    jitted = jax.jit(sharded, donate_argnums=(0,))
+
+    def step(state, data, bitfield, mean_density, keys, cam=None,
+             error_cdfs=None, error_map=None, envmap=None,
+             distortion=None):
+        return jitted(state, data, bitfield, mean_density, keys, cam,
+                      error_cdfs, error_map, envmap, distortion)
+
+    return step
+
+
+def make_sharded_density_update(testbed, mesh: Mesh, axis: str = "data",
+                                n_uniform: int = 0, n_nonuniform: int = 0):
+    """Density-grid maintenance for the sharded loop: each chip evaluates
+    a 1/n_devices shard of the sampled cells, results all-gather, and the
+    EMA/bitfield update is computed replicated — the TPU analog of the
+    reference's compute-once + dirty-tracked broadcast
+    (testbed.cu:5008-5048).
+
+    Returns update(params, density_grid, rng, decay) -> (grid, bitfield,
+    mean)."""
+    n_dev = mesh.shape[axis]
+    n_uni = -(-n_uniform // n_dev)
+    n_non = -(-n_nonuniform // n_dev)
+    body = testbed._density_update_body(n_uni, n_non, shard_of=n_dev)
+
+    def local_update(params, density_grid, rngs, decay):
+        rng = jax.random.fold_in(rngs[0], jax.lax.axis_index(axis))
+        idx, dens = body(params, density_grid, rng, decay)
+        idx = jax.lax.all_gather(idx, axis, axis=0, tiled=True)
+        dens = jax.lax.all_gather(dens, axis, axis=0, tiled=True)
+        from .occupancy import (density_grid_mean, splat_and_ema,
+                                update_bitfield)
+
+        new_grid = splat_and_ema(density_grid, idx, dens, decay)
+        bitfield = update_bitfield(new_grid, testbed.scene.max_cascade)
+        mean = density_grid_mean(new_grid)
+        return new_grid, bitfield, mean
+
+    sharded = shard_map(
+        local_update, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+    return jax.jit(sharded)
 
 
 def make_sharded_render(model, render_cfg, aabb_min, aabb_max, mesh: Mesh,

@@ -8,7 +8,9 @@ machinery: pixels are tiled into fixed-size ray batches; each batch is
 marched with the same fixed-trip occupancy-skipping scan, compacted by
 prefix sum, evaluated densely, and composited with min-transmittance
 early-out (render default 1e-2, eval 1e-4 — nerf.h:173, run.py:230).
-One jitted program per tile; zero host syncs inside a frame.
+The march is the analytic candidate grid (sampler.march_rays) and the
+composite runs directly on it. One jitted program per tile; zero host
+syncs inside a frame.
 
 Render modes (common.h:56-67): Shade, Depth, Positions, Normals (autodiff
 input gradient of density, like network->input_gradient :1724), AO.
@@ -25,10 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..camera import uv_to_ray
-from .march import (advance_n_steps, ray_intersect_aabb, unwarp_dt,
-                    warp_position)
+from .march import (advance_n_steps, ray_intersect_aabb, warp_position)
 from .model import NerfNetwork, network_to_density, network_to_rgb
-from .sampler import RayBatch, compact_samples, march_rays, pad_samples_per_ray
+from .sampler import RayBatch, compact_samples, march_rays
 
 
 class RenderConfig(NamedTuple):
@@ -97,14 +98,19 @@ def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
                                         samples.dirs, extra_flat)
         shade_is_raw = False
 
-    padded = []
-    for c in raw_ch:
-        pc, mask = pad_samples_per_ray(samples, c, cfg.max_samples_per_ray)
-        padded.append(pc)
-    dt_padded, _ = pad_samples_per_ray(samples, samples.dts,
-                                       cfg.max_samples_per_ray)
-    t_padded, _ = pad_samples_per_ray(samples, samples.t_mid,
-                                      cfg.max_samples_per_ray)
+    # composite in the (R, M) candidate domain: the network's flat
+    # outputs scatter back once per channel; mask/dt/t are march outputs
+    m_cand = ts.shape[1]
+    kept = samples.cand_slot < cfg.sample_capacity
+
+    def to_cand(v):
+        plane = jnp.zeros(n_rays * m_cand + 1, v.dtype).at[
+            samples.cand_src].set(v, mode="drop")
+        return plane[:n_rays * m_cand].reshape(n_rays, m_cand)
+
+    padded = [to_cand(c) for c in raw_ch]
+    mask = kept
+    t_padded = ts
 
     if shade_is_raw:
         rgb_ch = [c * 0.5 + 0.5 for c in padded[:3]]
@@ -112,7 +118,7 @@ def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
         rgb_ch = [network_to_rgb(c, cfg.rgb_activation)
                   for c in padded[:3]]
     sigma = network_to_density(padded[3], cfg.density_activation)
-    dt = unwarp_dt(dt_padded)
+    dt = dts
     alpha = jnp.where(mask, 1.0 - jnp.exp(-sigma * dt), 0.0)
 
     one_minus = 1.0 - alpha
@@ -123,10 +129,7 @@ def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
     weight = jnp.where(alive, alpha * T_before, 0.0)
 
     if cfg.render_mode == "Positions":
-        pos_padded = [pad_samples_per_ray(samples, p,
-                                          cfg.max_samples_per_ray)[0]
-                      for p in samples.positions]
-        rgb_ch = pos_padded
+        rgb_ch = [to_cand(p) for p in samples.positions]
     elif cfg.render_mode == "Depth":
         rgb_ch = [t_padded] * 3
     elif cfg.render_mode == "AO":
@@ -142,9 +145,7 @@ def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
             feats = model.pos_encoding.apply(
                 params["pos_encoding"], jnp.stack(samples.positions, -1))
         vis = feats[..., :3] * 20.0 + 0.5
-        rgb_ch = [pad_samples_per_ray(samples, vis[..., k],
-                                      cfg.max_samples_per_ray)[0]
-                  for k in range(3)]
+        rgb_ch = [to_cand(vis[..., k]) for k in range(3)]
 
     ray_ch = [jnp.sum(weight * c, axis=1) for c in rgb_ch]
     opacity = jnp.sum(weight, axis=1)

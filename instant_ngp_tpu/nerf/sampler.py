@@ -69,6 +69,10 @@ class SampleBatch(NamedTuple):
     ray_base: jax.Array      # (R,) first sample index of each ray
     ray_count: jax.Array     # (R,) number of samples of each ray
     n_samples: jax.Array     # () total valid samples (<= S)
+    cand_slot: jax.Array     # (R, M) flat sample index of each candidate;
+    #                          >= S means "no kept sample here"
+    cand_src: jax.Array      # (S,) flat candidate index (r*M + k) of each
+    #                          sample; == R*M for the invalid tail
 
 
 def rotvec_matrix(r: jax.Array) -> jax.Array:
@@ -274,15 +278,18 @@ def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
     flat_pos = jnp.where(emits, base[:, None] + slot, capacity)
     flat_pos = jnp.minimum(flat_pos, capacity)                 # clamp tail
 
-    # single scatter: compacted slot -> flat candidate index
-    src = jnp.zeros(capacity + 1, jnp.int32)
+    # single scatter: compacted slot -> flat candidate index. Tail slots
+    # keep the R*M sentinel (scatters targeting them route to a spare
+    # plane element); derived-field gathers use a clamped copy.
+    src = jnp.full(capacity + 1, n_rays * n_march, jnp.int32)
     src = src.at[flat_pos.reshape(-1)].set(
         jnp.arange(n_rays * n_march, dtype=jnp.int32),
         mode="drop")[:capacity]
+    src_c = jnp.minimum(src, n_rays * n_march - 1)
 
-    ray_id = src // n_march                                    # (S,)
-    t_flat = ts.reshape(-1)[src]
-    dt_flat = warp_dt(dts.reshape(-1)[src])
+    ray_id = src_c // n_march                                  # (S,)
+    t_flat = ts.reshape(-1)[src_c]
+    dt_flat = warp_dt(dts.reshape(-1)[src_c])
 
     o, d = rays.origins, rays.dirs
     span = aabb_max - aabb_min
@@ -297,7 +304,7 @@ def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
     base_c = jnp.minimum(base, capacity)
     count_c = jnp.minimum(count, capacity - base_c)
     return SampleBatch(positions, dirs, dt_flat, t_flat, ray_id,
-                       base_c, count_c, n_samples)
+                       base_c, count_c, n_samples, flat_pos, src)
 
 
 def pad_samples_per_ray(samples: SampleBatch, values: jax.Array,

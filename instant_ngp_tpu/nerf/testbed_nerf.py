@@ -91,18 +91,17 @@ class NerfTestbed:
         self.n_march = 1024
         self.max_samples_per_ray = 1024
         # generation capacity = multiplier * target batch (the reference
-        # sizes its uncompacted buffers at 16x target, testbed_nerf.cu:2685;
-        # 4x covers the steady-state compaction ratio at far less memory)
-        self.sample_capacity_multiplier = 4
+        # sizes its uncompacted buffers at 16x target, testbed_nerf.cu:2685,
+        # but pads the COMPACTED batch to the target with fill_rollover —
+        # the network only ever runs on ~1x target). The network here runs
+        # on the full static capacity, so the multiplier is pure waste:
+        # keep it small and let the adaptive ray batch hold generation
+        # near the target; overflow rays drop like the reference's.
+        self.sample_capacity_multiplier = 2
 
         # density-update sample counts; None = reference cadence
         # (all cells for the first 256 steps, then 1/4 + 1/4)
         self.density_samples_override = None
-
-        # route the density-grid eval's hash encoding through the Pallas
-        # VMEM-resident-table kernel (forward-only path; ~10x fewer HBM
-        # random accesses). Enable after on-hardware validation.
-        self.use_pallas_density = False
 
         # >1 fuses K (train + density-update) iterations into ONE jitted
         # lax.scan program: through the tunneled TPU backend each
@@ -165,11 +164,19 @@ class NerfTestbed:
         self._density_fns = {}
 
         # observability (reference m_training_prep_ms / m_training_ms /
-        # m_loss_scalar EMA — testbed.h:936-940, common_host.h:62-107)
+        # m_loss_scalar EMA — testbed.h:936-940, common_host.h:62-107 —
+        # plus the rays/s, samples/s, steps/ray counters the reference's
+        # GUI derives; SURVEY.md §5)
         from ..utils import Ema, PhaseTimers
 
         self.timers = PhaseTimers()
         self.loss_ema = Ema(half_life_s=1.0)
+        self.samples_per_s = Ema(half_life_s=2.0)
+        self.rays_per_s = Ema(half_life_s=2.0)
+        self.steps_per_s = Ema(half_life_s=2.0)
+        self.mean_samples_per_ray = 0.0
+        self._last_sync_t = None
+        self._steps_at_last_sync = 0
 
     # ------------------------------------------------------------------
     def _train_cfg(self, n_rays: int, max_k: int) -> NerfTrainStepConfig:
@@ -238,6 +245,9 @@ class NerfTestbed:
             else:
                 n_uni, n_non = n_cells, 0
             density_body = self._density_update_body(n_uni, n_non)
+            # reference cadence (testbed.cu:4060-4062): prep every step
+            # before step 256, then once per up-to-16-step block
+            prep_per_step = not mixed_density
 
             def block(state, density_grid, error_map, data, bitfield,
                       mean_density, train_rngs, density_rngs, error_cdfs,
@@ -245,10 +255,11 @@ class NerfTestbed:
                 def body(carry, rngs):
                     st, grid, bf, mean, em = carry
                     t_rng, d_rng = rngs
-                    params = self.optimizer.inference_params(st["opt"],
-                                                             st["params"])
-                    grid, bf, mean = density_body(params, grid, d_rng,
-                                                  decay)
+                    if prep_per_step:
+                        params = self.optimizer.inference_params(
+                            st["opt"], st["params"])
+                        grid, bf, mean = density_body(params, grid,
+                                                      d_rng, decay)
                     new_st, stats = nerf_train_step(
                         self.model, self.optimizer, cfg, aabb_min,
                         aabb_max, st, data, bf, mean, t_rng,
@@ -261,6 +272,11 @@ class NerfTestbed:
                             "measured_batch_size_before_compaction")}
                     return (new_st, grid, bf, mean, em2), out
 
+                if not prep_per_step:
+                    params = self.optimizer.inference_params(
+                        state["opt"], state["params"])
+                    density_grid, bitfield, mean_density = density_body(
+                        params, density_grid, density_rngs[0], decay)
                 (state, density_grid, bitfield, mean_density, error_map
                  ), seq = jax.lax.scan(
                     body,
@@ -275,9 +291,12 @@ class NerfTestbed:
                                            donate_argnums=(0, 1, 2))
         return self._train_fns[key]
 
-    def _density_update_body(self, n_uniform: int, n_nonuniform: int):
+    def _density_update_body(self, n_uniform: int, n_nonuniform: int,
+                             shard_of: int = 1):
         """The pure per-step density-grid update (shared by the eager
-        path and the scanned block)."""
+        path, the scanned block, and — with shard_of > 1, which returns
+        the (idx, dens) evaluation half only — the sharded loop in
+        nerf/parallel.py)."""
         n_cascades = self.scene.max_cascade + 1
         aabb_min = jnp.asarray(self.scene.aabb_min)
         aabb_max = jnp.asarray(self.scene.aabb_max)
@@ -286,13 +305,7 @@ class NerfTestbed:
         density_activation = self.scene.density_activation
         span = aabb_max - aabb_min
 
-        use_pallas = False
-        if self.use_pallas_density:
-            from ..ops.pallas import grid_kernels_v2 as gk2
-
-            use_pallas = gk2.supports(model.pos_encoding)
-
-        def update(params, density_grid, rng, decay):
+        def evaluate(params, density_grid, rng, decay):
             from .model import network_to_density
 
             k_cells, k_pos = jax.random.split(rng)
@@ -309,21 +322,8 @@ class NerfTestbed:
                 jnp.pad(c, (0, pad)).reshape(n_chunks, chunk)
                 for c in warped])
 
-            packed_table = None
-            if use_pallas:
-                from ..ops.pallas import grid_kernels_v2 as gk2
-
-                packed_table = gk2.pack_table(model.pos_encoding,
-                                              params["pos_encoding"])
-
             def density_chunk(cols):
-                if packed_table is not None:
-                    from ..ops.pallas import grid_kernels_v2 as gk2
-
-                    feats = gk2.grid_encode_pallas_v2(
-                        model.pos_encoding, packed_table,
-                        [cols[0], cols[1], cols[2]])
-                elif hasattr(model.pos_encoding, "apply_components"):
+                if hasattr(model.pos_encoding, "apply_components"):
                     feats = model.pos_encoding.apply_components(
                         params["pos_encoding"], [cols[0], cols[1],
                                                  cols[2]])
@@ -338,6 +338,13 @@ class NerfTestbed:
                               jnp.transpose(stacked, (1, 0, 2)))
             raw = raw.reshape(-1)[:n_total]
             dens = network_to_density(raw, density_activation)
+            return idx, dens
+
+        if shard_of > 1:
+            return evaluate
+
+        def update(params, density_grid, rng, decay):
+            idx, dens = evaluate(params, density_grid, rng, decay)
             new_grid = splat_and_ema(density_grid, idx, dens, decay)
             bitfield = update_bitfield(new_grid, max_cascade)
             mean = density_grid_mean(new_grid)
@@ -382,14 +389,15 @@ class NerfTestbed:
                 self._rebuild_error_cdfs()
                 self._n_steps_since_error_update = 0
         self.training_step += n_scan
-        self.density_grid_ema_step += n_scan
+        # one density update per steady-state block, n per warmup block
+        self.density_grid_ema_step += n_scan if not mixed else 1
         return stats
 
     # ------------------------------------------------------------------
     # density grid maintenance (training_prep_nerf)
     # ------------------------------------------------------------------
     def _get_density_fn(self, n_uniform: int, n_nonuniform: int):
-        key = (n_uniform, n_nonuniform, self.use_pallas_density)
+        key = (n_uniform, n_nonuniform)
         if key not in self._density_fns:
             self._density_fns[key] = jax.jit(
                 self._density_update_body(n_uniform, n_nonuniform))
@@ -539,8 +547,15 @@ class NerfTestbed:
 
         pending = []  # (stats, step_idx) not yet synced
         for i in range(n_steps):
-            with self.timers.time("training_prep"):
-                self.training_prep()
+            # density-grid maintenance cadence: the reference skips prep
+            # with n_prep_to_skip = clamp(step/16, 1, 16) (testbed.cu:
+            # 4060-4062) — every step early on, every 16 steps in steady
+            # state. Round 1 ran it EVERY step: a 16x waste on the most
+            # expensive inference pass in the loop.
+            n_prep_to_skip = min(max(self.training_step // 16, 1), 16)
+            if self.training_step % n_prep_to_skip == 0:
+                with self.timers.time("training_prep"):
+                    self.training_prep()
             self._maybe_init_error_map()
             n_rays = self._bucket(self.rays_per_batch)
             max_k = self._bucket_k(n_rays)
@@ -592,6 +607,8 @@ class NerfTestbed:
 
     def _sync_stats(self, pending) -> None:
         """Block once on a batch of steps' stats; adapt from the latest."""
+        import time as _time
+
         if not pending:
             return
         stats = pending[-1]
@@ -608,6 +625,19 @@ class NerfTestbed:
         self.measured_batch_size = measured
         self.measured_batch_size_before_compaction = measured_pre
 
+        # throughput counters (SURVEY.md §5): per-sync window rates
+        now = _time.perf_counter()
+        steps_done = self.training_step - self._steps_at_last_sync
+        if self._last_sync_t is not None and steps_done > 0:
+            dt = max(now - self._last_sync_t, 1e-9)
+            n_rays_used = int(stats.get("n_rays", self.rays_per_batch))
+            self.steps_per_s.update(steps_done / dt)
+            self.samples_per_s.update(steps_done * measured / dt)
+            self.rays_per_s.update(steps_done * n_rays_used / dt)
+            self.mean_samples_per_ray = measured / max(n_rays_used, 1)
+        self._last_sync_t = now
+        self._steps_at_last_sync = self.training_step
+
         if not self.adapt_ray_batch:
             return
         # adaptive rays/batch (update_after_training :2442-2443),
@@ -619,8 +649,25 @@ class NerfTestbed:
                     * self.sample_capacity_multiplier)
         cap_rays = int(self.rays_per_batch * capacity
                        / max(measured_pre, 1))
+        # ray cap: the reference allows 2^18 rays; the candidate-domain
+        # composite materializes (rays, n_march) planes, so bound rays to
+        # keep that under ~16M lanes (2^14 x 1024)
         self.rays_per_batch = min(max(min(new_rays, cap_rays), 256),
-                                  1 << 18)
+                                  1 << 14)
+
+    def performance_stats(self):
+        """The counters the reference's GUI surfaces (steps/s, rays/s,
+        samples/s, steps-per-ray, per-phase ms) as one dict."""
+        return {
+            "steps_per_s": self.steps_per_s.value,
+            "rays_per_s": self.rays_per_s.value,
+            "samples_per_s": self.samples_per_s.value,
+            "mean_samples_per_ray": self.mean_samples_per_ray,
+            "loss_ema": self.loss_ema.value,
+            "measured_batch_size": self.measured_batch_size,
+            "rays_per_batch": self.rays_per_batch,
+            "phase_ms": self.timers.summary(),
+        }
 
     @staticmethod
     def _bucket(n: int) -> int:

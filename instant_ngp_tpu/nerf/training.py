@@ -6,11 +6,18 @@ and the train_nerf_step orchestration (:2683-2930) the TPU way:
 - The reference runs inference over uncompacted samples, derives
   dL/d(mlp_out) ANALYTICALLY in a kernel, then calls the trainer with a
   custom gradient. Here the composite is expressed as a differentiable
-  masked computation over a padded (R, K) sample layout and autodiff
+  masked computation over the (R, M) march CANDIDATE grid and autodiff
   produces exactly that analytic gradient (chain rule through
   alpha = 1-exp(-sigma dt) and the transmittance prefix products), with
   the same early-termination (T < 1e-4) masking — samples past the
-  cutoff get zero gradient, mirroring compaction.
+  cutoff get zero gradient, mirroring compaction. The network's flat
+  outputs route onto the candidate grid with one element scatter per
+  channel; mask/dt/t are march outputs already living there, so no
+  padded (R, K) relayout (or its gather/scatter transposes) exists.
+- `axis_name` turns the same function into the data-parallel step: the
+  gradient pmean (and stat/error-map psums) are the only collectives
+  (SURVEY.md §2.6) — nerf/parallel.py wraps THIS function in shard_map,
+  no forked step logic.
 - Reference regularizer semantics are reproduced as loss terms whose
   gradients equal the hand-added ones: output_l2_reg on exponential RGB
   outputs, L1 density reg when mean density is low, near-plane density
@@ -33,10 +40,9 @@ import numpy as np
 from ..common import NERF_MIN_OPTICAL_THICKNESS
 from ..ops.losses import loss_and_gradient, LossType
 from .dataset import NerfTrainingData
-from .march import unwarp_dt
 from .model import (NerfNetwork, network_to_density, network_to_rgb)
 from .sampler import (RayBatch, SampleBatch, compact_samples, generate_rays,
-                      march_rays, pad_samples_per_ray)
+                      march_rays)
 
 EPSILON = 1e-4  # training transmittance cutoff (testbed_nerf.cu:905)
 
@@ -59,32 +65,50 @@ class CompositeResult(NamedTuple):
     depth_rays: jax.Array         # (R,)
 
 
-def composite_loss(raw_channels, mask: jax.Array,
-                   dt_padded: jax.Array, t_padded: jax.Array,
+def composite_loss(raw_channels, samples: SampleBatch,
+                   ts: jax.Array, dts: jax.Array,
                    rays: RayBatch, bg_color: jax.Array,
                    exposure: jax.Array,
                    rgb_activation: str, density_activation: str,
                    loss_type: LossType, mean_density: jax.Array,
                    near_distance: float,
                    train_in_linear_colors: bool = False,
-                   depth_padded_target: Optional[jax.Array] = None,
+                   depth_target: Optional[jax.Array] = None,
                    depth_supervision_lambda: float = 0.0,
                    depth_loss_type: LossType = LossType.L1,
                    ) -> CompositeResult:
-    """raw_channels: 4 pre-activation (R, K) arrays (r, g, b, sigma) —
-    channel-separated so no (R, K, 4) buffer tile-pads on TPU.
-    mask (R, K) valid samples.
+    """Composite directly in the (R, M) CANDIDATE domain.
 
+    raw_channels: 4 pre-activation FLAT (S,) arrays (r, g, b, sigma) —
+    the network's outputs on the compacted sample batch. They are routed
+    back onto the candidate grid with ONE element scatter per channel
+    (S elements each); the mask, dt and t already live there as march
+    outputs, so the six (R, K) pad-gathers of the padded-layout design
+    (and their scatter transposes in the backward) disappear.
+
+    ts/dts: (R, M) march candidate times / RAW step sizes.
     bg_color: (R, 3) LINEAR-space random/fixed background (reference
     applies srgb_to_linear to the random color; caller does that).
     exposure: (R, 3) log2-exposure of each ray's source image."""
-    raw_r, raw_g, raw_b, raw_sigma = raw_channels
-    n_lanes = raw_r.shape[0]
+    raw_flat = raw_channels
+    R, M = samples.cand_slot.shape
+    S = raw_flat[0].shape[0]
+    n_lanes = R
+    kept = samples.cand_slot < S                                # (R, M)
+
+    def to_cand(v):
+        plane = jnp.zeros(R * M + 1, v.dtype).at[samples.cand_src].set(
+            v, mode="drop")
+        return plane[:R * M].reshape(R, M)
+
+    raw_r, raw_g, raw_b, raw_sigma = [to_cand(c) for c in raw_flat]
+    mask = kept
+    t_padded = ts
 
     rgb_ch = [network_to_rgb(c, rgb_activation)
-              for c in (raw_r, raw_g, raw_b)]                   # 3x (R,K)
+              for c in (raw_r, raw_g, raw_b)]                   # 3x (R,M)
     sigma = network_to_density(raw_sigma, density_activation)
-    dt = unwarp_dt(dt_padded)
+    dt = dts
     alpha = jnp.where(mask, 1.0 - jnp.exp(-sigma * dt), 0.0)
 
     # transmittance BEFORE each sample: exclusive prefix product
@@ -140,8 +164,8 @@ def composite_loss(raw_channels, mask: jax.Array,
 
     # depth supervision (:1013-1015, gradient at :1106)
     loss_depth = 0.0
-    if depth_supervision_lambda > 0.0 and depth_padded_target is not None:
-        target_depth = depth_padded_target
+    if depth_supervision_lambda > 0.0 and depth_target is not None:
+        target_depth = depth_target
         d_elem, _ = loss_and_gradient(depth_loss_type,
                                       target_depth, depth_ray)
         has_depth = lane_valid & (target_depth > 0)
@@ -207,6 +231,7 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
                     error_map: Optional[jax.Array] = None,
                     envmap: Optional[jax.Array] = None,
                     distortion: Optional[jax.Array] = None,
+                    axis_name: Optional[str] = None,
                     ) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
     """One full NeRF training step (pure function; jit with model/optimizer/
     cfg closed over statically).
@@ -289,15 +314,6 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
             positions, dirs_warped = samples.positions, samples.dirs
         raw = model.apply_components(params, positions, dirs_warped,
                                      extra_flat)
-        raw_padded = []
-        for c in raw:
-            pc, mask = pad_samples_per_ray(samples, c,
-                                           cfg.max_samples_per_ray)
-            raw_padded.append(pc)
-        dt_padded, _ = pad_samples_per_ray(samples, samples.dts,
-                                           cfg.max_samples_per_ray)
-        t_padded, _ = pad_samples_per_ray(samples, samples.t_mid,
-                                          cfg.max_samples_per_ray)
         exposure = aux.get("exposure", base_exposure)[rays.img_idx]
 
         bg_used = bg
@@ -309,8 +325,7 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
             env = read_envmap(aux["envmap"], rays.dirs)
             bg_used = env[..., :3] + bg * (1.0 - env[..., 3:4])
         result = composite_loss(
-            tuple(raw_padded), mask, dt_padded, t_padded, rays, bg_used,
-            exposure,
+            tuple(raw), samples, ts, dts, rays, bg_used, exposure,
             cfg.rgb_activation, cfg.density_activation, cfg.loss_type,
             mean_density, cfg.near_distance, cfg.train_in_linear_colors,
             depth_target, cfg.depth_supervision_lambda)
@@ -318,6 +333,14 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
 
     (loss_val, result), (grads, aux_grads) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True)(state["params"], aux_vars)
+
+    if axis_name is not None:
+        # data-parallel: gradients all-reduce over ICI BEFORE the
+        # optimizer so parameters stay bit-identical per chip
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, axis_name), grads)
+        aux_grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, axis_name), aux_grads)
 
     from ..ops.trainer import default_l2_mask
 
@@ -333,6 +356,16 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
         "measured_batch_size_before_compaction": samples.n_samples,
         "n_rays": jnp.sum(rays.valid.astype(jnp.int32)),
     }
+    if axis_name is not None:
+        n_dev = jax.lax.psum(1, axis_name)
+        stats = {
+            "loss": jax.lax.psum(stats["loss"], axis_name) / n_dev,
+            "measured_batch_size": jax.lax.psum(
+                stats["measured_batch_size"], axis_name),
+            "measured_batch_size_before_compaction": jax.lax.psum(
+                stats["measured_batch_size_before_compaction"], axis_name),
+            "n_rays": jax.lax.psum(stats["n_rays"], axis_name),
+        }
     if "cam" in aux_grads:
         stats["cam_gradient"] = aux_grads["cam"]
     if "exposure" in aux_grads:
@@ -356,11 +389,14 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
             idx = flat_img + (p0[:, 1] + dy) * cw + (p0[:, 0] + dx)
             return acc.at[idx].add(weight * val)
 
-        em = error_map.reshape(-1)
-        em = deposit(em, 0, 0, (1 - w[:, 0]) * (1 - w[:, 1]))
-        em = deposit(em, 1, 0, w[:, 0] * (1 - w[:, 1]))
-        em = deposit(em, 0, 1, (1 - w[:, 0]) * w[:, 1])
-        em = deposit(em, 1, 1, w[:, 0] * w[:, 1])
+        delta = jnp.zeros(error_map.size, error_map.dtype)
+        delta = deposit(delta, 0, 0, (1 - w[:, 0]) * (1 - w[:, 1]))
+        delta = deposit(delta, 1, 0, w[:, 0] * (1 - w[:, 1]))
+        delta = deposit(delta, 0, 1, (1 - w[:, 0]) * w[:, 1])
+        delta = deposit(delta, 1, 1, w[:, 0] * w[:, 1])
+        if axis_name is not None:
+            delta = jax.lax.psum(delta, axis_name)
+        em = error_map.reshape(-1) + delta
         stats["error_map"] = em.reshape(error_map.shape)
 
     return new_state, stats

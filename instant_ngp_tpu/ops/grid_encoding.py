@@ -17,8 +17,12 @@ Semantics kept from tcnn's encodings/grid.h:
 - `max_level` masks levels above the given index to zero features (and
   hence zero gradient) for coarse-to-fine schedules.
 
-The pure-JAX implementation below is the semantic reference; the Pallas
-TPU kernel in ops/pallas/grid_kernels.py implements the same contract.
+The per-level loop is the semantic reference; the fused path (and its
+packed bf16-pair fast mode, see the class docstring) implements the same
+contract with one gather descriptor per (sample, level, corner) — on
+TPU v5e gathers cost per DESCRIPTOR (~130M/s), which makes descriptor
+count, not bytes, the unit of cost for this op (measured round 2; see
+ops/pallas/__init__.py for why a hand-written kernel cannot beat this).
 """
 
 from __future__ import annotations
@@ -55,7 +59,17 @@ def grid_resolution(scale: float) -> int:
 
 @dataclasses.dataclass
 class GridEncoding(Encoding):
-    """Functional grid encoding. Parameters are one flat fp32 vector."""
+    """Functional grid encoding. Parameters are one flat fp32 vector.
+
+    `packed` (default on, F=2 only): the forward gathers a DERIVED table
+    whose f32 words bit-pack both features of an entry as bf16 — ONE
+    gather descriptor per (sample, level, corner) instead of one per
+    feature. Measured on TPU v5e, gather/scatter cost is per-DESCRIPTOR
+    (~130M/s regardless of width; narrow multi-feature rows tile-pad
+    64x), so halving descriptors halves the dominant cost of the whole
+    framework. Forward feature precision becomes bf16 — the reference's
+    tcnn stores grid params in fp16 (__half) anyway — while gradients
+    scatter-add into the fp32 master exactly (custom VJP below)."""
 
     n_dims: int
     n_levels: int = 16
@@ -66,6 +80,7 @@ class GridEncoding(Encoding):
     grid_type: str = "Hash"           # Hash | Dense | Tiled
     interpolation: str = "Linear"     # Linear | Smoothstep | Nearest
     dtype: Any = jnp.float32
+    packed: bool = True
 
     def __post_init__(self):
         assert self.n_dims in (2, 3), "grid encoding supports 2D and 3D inputs"
@@ -278,33 +293,33 @@ class GridEncoding(Encoding):
         out = self.apply_components(params, comps, max_level)
         return out.reshape(*lead, self.n_output_dims)
 
-    def apply_components(self, params: jax.Array, comps,
-                         max_level: Optional[jax.Array] = None) -> jax.Array:
-        """All levels+corners in one flattened (N, L*2^d) lane axis: one
-        gather per feature channel, corner reduction as an MXU matmul.
-
-        `comps`: list of d arrays (N,) — component-separated input keeps
-        every million-row intermediate's trailing dim at L*C (near the
-        128-lane width) instead of 3, which would tile-pad 42x."""
-        n = comps[0].shape[0]
+    def _fused_parts(self, comps, max_level=None, need_grads=False):
+        """Shared index/weight math of the fused path: returns
+        (entry (N, LC) int32, weight (N, LC) f32, aux). With need_grads,
+        aux carries per-axis data for the hand-derived input gradient:
+        w_sel[k] (corner-selected lerp weights) and dwsel_dx[k] =
+        d w_sel_k / d x_k (sign x interpolant' x scale)."""
         d = self.n_dims
-        f = self.n_features_per_level
-        L = self.n_levels
-        C = 2 ** d
         fc = self._fused_constants()
-
         scale = jnp.asarray(fc["scale"])[None, :]                # (1, LC)
         weight = None
         idx_hash = None
         idx_dense = None
+        w_sels = []
+        dwsel_dx = []
         for k in range(d):
             pos_k = comps[k].astype(jnp.float32)[:, None] * scale + 0.5
             pos0_k = jnp.floor(pos_k)
-            w_k = pos_k - pos0_k
+            w_raw = pos_k - pos0_k
             if self.interpolation == "Smoothstep":
-                w_k = w_k * w_k * (3.0 - 2.0 * w_k)
+                w_k = w_raw * w_raw * (3.0 - 2.0 * w_raw)
+                dw_k = 6.0 * w_raw * (1.0 - w_raw)
             elif self.interpolation == "Nearest":
-                w_k = jnp.round(w_k)
+                w_k = jnp.round(w_raw)
+                dw_k = jnp.zeros_like(w_raw)
+            else:
+                w_k = w_raw
+                dw_k = jnp.ones_like(w_raw)
             coord_k = pos0_k.astype(jnp.int32) \
                 + jnp.asarray(fc["corner"][k])[None, :]
             res = jnp.asarray(fc["res"])[None, :]
@@ -322,6 +337,10 @@ class GridEncoding(Encoding):
             sel = jnp.asarray(fc["corner"][k])[None, :] == 1
             w_sel = jnp.where(sel, w_k, 1.0 - w_k)
             weight = w_sel if weight is None else weight * w_sel
+            if need_grads:
+                sign = jnp.where(sel, 1.0, -1.0)
+                w_sels.append(w_sel)
+                dwsel_dx.append(sign * dw_k * scale)
 
         size = jnp.asarray(fc["size"])[None, :]
         hashed = jnp.asarray(fc["hashed"])[None, :]
@@ -331,7 +350,120 @@ class GridEncoding(Encoding):
         if max_level is not None:
             lvl = jnp.asarray(fc["level_of"])[None, :]
             weight = weight * (jnp.asarray(max_level) >= lvl)
+        return entry, weight, {"w_sel": w_sels, "dwsel_dx": dwsel_dx}
 
+    # ---- bf16-pair packing (see class docstring) ----
+
+    def pack_params(self, params: jax.Array) -> jax.Array:
+        """(total,) f32 master -> (total/2,) f32 words, each bit-packing
+        an entry's two features as bf16 (feature 0 high, 1 low)."""
+        f0 = params[0::2].astype(jnp.bfloat16)
+        f1 = params[1::2].astype(jnp.bfloat16)
+        hi = jax.lax.bitcast_convert_type(f0, jnp.uint16).astype(jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(f1, jnp.uint16).astype(jnp.uint32)
+        return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+
+    @staticmethod
+    def unpack_words(words: jax.Array):
+        """packed f32 words -> (feat0, feat1) f32 arrays, same shape."""
+        w = jax.lax.bitcast_convert_type(words, jnp.uint32)
+        f0 = jax.lax.bitcast_convert_type(
+            (w >> 16).astype(jnp.uint16), jnp.bfloat16)
+        f1 = jax.lax.bitcast_convert_type(
+            w.astype(jnp.uint16), jnp.bfloat16)
+        return f0.astype(jnp.float32), f1.astype(jnp.float32)
+
+    def _build_packed_call(self):
+        """custom-VJP fused encode with ONE gather descriptor per
+        (sample, level, corner). Gradients: exact fp32 scatter-add into
+        the master for the table; hand-derived d-linear spatial gradient
+        for the inputs (needed by the camera-optimization path, Normals
+        rendering and mesh refinement)."""
+        fc = self._fused_constants()
+        f = self.n_features_per_level
+        d = self.n_dims
+
+        def fwd_impl(params, comps, max_level):
+            entry, weight, _ = self._fused_parts(comps, max_level)
+            packed = self.pack_params(params)
+            words = packed[entry]                            # (N, LC)
+            v0, v1 = self.unpack_words(words)
+            out = jnp.dot(v0 * weight, jnp.asarray(fc["reduce_feat"][0]),
+                          preferred_element_type=jnp.float32) \
+                + jnp.dot(v1 * weight, jnp.asarray(fc["reduce_feat"][1]),
+                          preferred_element_type=jnp.float32)
+            return out, words
+
+        @jax.custom_vjp
+        def call(params, comps, max_level):
+            return fwd_impl(params, comps, max_level)[0]
+
+        def call_fwd(params, comps, max_level):
+            out, words = fwd_impl(params, comps, max_level)
+            return out, (params.shape[0], comps, max_level, words)
+
+        def call_bwd(res, g):
+            n_params, comps, max_level, words = res
+            entry, weight, aux = self._fused_parts(comps, max_level,
+                                                   need_grads=True)
+            g = g.astype(jnp.float32)                        # (N, L*F)
+            r0 = jnp.asarray(fc["reduce_feat"][0])
+            r1 = jnp.asarray(fc["reduce_feat"][1])
+            g0 = jnp.dot(g, r0.T, preferred_element_type=jnp.float32)
+            g1 = jnp.dot(g, r1.T, preferred_element_type=jnp.float32)
+
+            # table gradient: dL/dvals = g_k * weight, scatter-added at
+            # the master's per-feature positions (exact fp32)
+            dparams = jnp.zeros(n_params, jnp.float32)
+            flat0 = entry.reshape(-1) * f
+            dparams = dparams.at[flat0].add((g0 * weight).reshape(-1))
+            dparams = dparams.at[flat0 + 1].add((g1 * weight).reshape(-1))
+
+            # input gradient: dweight = sum_k g_k * vals_k, then
+            # dx_d = sum_lc dweight * (dw_sel_d/dx_d) * prod_{j!=d} w_sel_j
+            v0, v1 = self.unpack_words(words)
+            dweight = g0 * v0 + g1 * v1                      # (N, LC)
+            w_sel = aux["w_sel"]
+            dcomps = []
+            for k in range(d):
+                pe = None                                    # prod except k
+                for j in range(d):
+                    if j == k:
+                        continue
+                    pe = w_sel[j] if pe is None else pe * w_sel[j]
+                if pe is None:
+                    pe = jnp.ones_like(dweight)
+                if max_level is not None:
+                    # weight carried the coarse-to-fine mask; replicate it
+                    lvl = jnp.asarray(fc["level_of"])[None, :]
+                    pe = pe * (jnp.asarray(max_level) >= lvl)
+                dx = jnp.sum(dweight * aux["dwsel_dx"][k] * pe, axis=1)
+                dcomps.append(dx.astype(comps[k].dtype))
+            dml = None if max_level is None else jnp.zeros_like(max_level)
+            return dparams, tuple(dcomps), dml
+
+        call.defvjp(call_fwd, call_bwd)
+        return call
+
+    def apply_components(self, params: jax.Array, comps,
+                         max_level: Optional[jax.Array] = None) -> jax.Array:
+        """All levels+corners in one flattened (N, L*2^d) lane axis, with
+        corner reduction as an MXU matmul.
+
+        `comps`: list of d arrays (N,) — component-separated input keeps
+        every million-row intermediate's trailing dim at L*C (near the
+        128-lane width) instead of 3, which would tile-pad 42x."""
+        f = self.n_features_per_level
+        if self.packed and f == 2:
+            if getattr(self, "_packed_call", None) is None:
+                self._packed_call = self._build_packed_call()
+            ml = None if max_level is None \
+                else jnp.asarray(max_level, jnp.float32)
+            out = self._packed_call(params, tuple(comps), ml)
+            return out.astype(self.dtype)
+
+        entry, weight, _ = self._fused_parts(comps, max_level)
+        fc = self._fused_constants()
         out = None
         for feat in range(f):
             vals = params[entry * f + feat]                      # (N, LC)

@@ -161,8 +161,8 @@ def make_tp_train_step(model, optimizer, cfg, aabb_min, aabb_max,
     sharded_enc = LevelShardedGrid(model.pos_encoding, n_tp)
 
     def local_step(state, data, bitfield, mean_density, keys):
-        from ..nerf.sampler import (compact_samples, generate_rays, march_rays,
-                              pad_samples_per_ray)
+        from ..nerf.sampler import (compact_samples, generate_rays,
+                                    march_rays)
         from ..nerf.training import _srgb_to_linear, composite_loss
 
         key = keys[0]
@@ -186,17 +186,8 @@ def make_tp_train_step(model, optimizer, cfg, aabb_min, aabb_max,
                 axis=model_axis)
             raw = model.apply_components(params, samples.positions,
                                          samples.dirs, pos_feats=feats)
-            padded = []
-            for c in raw:
-                pc, mask = pad_samples_per_ray(samples, c,
-                                               cfg.max_samples_per_ray)
-                padded.append(pc)
-            dt_padded, _ = pad_samples_per_ray(
-                samples, samples.dts, cfg.max_samples_per_ray)
-            t_padded, _ = pad_samples_per_ray(
-                samples, samples.t_mid, cfg.max_samples_per_ray)
             result = composite_loss(
-                tuple(padded), mask, dt_padded, t_padded, rays, bg,
+                tuple(raw), samples, ts, dts, rays, bg,
                 exposure, cfg.rgb_activation, cfg.density_activation,
                 cfg.loss_type, mean_density, cfg.near_distance,
                 cfg.train_in_linear_colors)

@@ -13,9 +13,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from instant_ngp_tpu.nerf.march import unwarp_dt, warp_dt
-from instant_ngp_tpu.nerf.sampler import RayBatch
+from instant_ngp_tpu.nerf.sampler import RayBatch, SampleBatch
 from instant_ngp_tpu.nerf.training import composite_loss
 from instant_ngp_tpu.ops.losses import LossType
+
+
+def identity_samples(mask: np.ndarray) -> SampleBatch:
+    """A SampleBatch whose candidate grid IS the (R, K) padded grid:
+    flat sample i = candidate (i // K, i % K); masked-out candidates
+    carry no kept sample. Only the fields composite_loss reads
+    (cand_slot / cand_src) matter here."""
+    r, k = mask.shape
+    s = r * k
+    flat = np.arange(s, dtype=np.int32)
+    cand_slot = jnp.asarray(
+        np.where(mask, flat.reshape(r, k), s).astype(np.int32))
+    dummy = jnp.zeros(s)
+    dummy3 = (dummy, dummy, dummy)
+    return SampleBatch(dummy3, dummy3, dummy, dummy,
+                       jnp.asarray(flat // k),
+                       jnp.arange(r, dtype=jnp.int32) * k,
+                       jnp.asarray(mask.sum(1).astype(np.int32)),
+                       jnp.asarray(np.int32(s)), cand_slot,
+                       jnp.asarray(flat))
 
 
 def make_case(n_rays=4, k=6, seed=0):
@@ -87,11 +107,13 @@ def test_autodiff_matches_analytic_backward():
     raw, mask, dt_padded, t_padded, rays, bg, exposure, dts, rgba = \
         make_case()
 
+    samples = identity_samples(mask)
+
     def loss_of(raw_flat):
-        channels = tuple(raw_flat[i] for i in range(4))
+        channels = tuple(raw_flat[i].reshape(-1) for i in range(4))
         res = composite_loss(
-            channels, jnp.asarray(mask), jnp.asarray(dt_padded),
-            jnp.asarray(t_padded), rays, jnp.asarray(bg),
+            channels, samples, jnp.asarray(t_padded), jnp.asarray(dts),
+            rays, jnp.asarray(bg),
             jnp.asarray(exposure), "Logistic", "Exponential",
             LossType.L2, jnp.asarray(1.0),  # mean density high: no L1 reg
             0.0)

@@ -121,9 +121,12 @@ def test_fused_matches_per_level_loop():
     from instant_ngp_tpu.ops.grid_encoding import GridEncoding
 
     for gtype in ("Hash", "Dense", "Tiled"):
+        # packed=False: the fused path must match the per-level loop to
+        # fp32 precision
         enc = GridEncoding(n_dims=3, n_levels=6, n_features_per_level=2,
                            log2_hashmap_size=11, base_resolution=4,
-                           per_level_scale=1.6, grid_type=gtype)
+                           per_level_scale=1.6, grid_type=gtype,
+                           packed=False)
         params = enc.init(jax.random.PRNGKey(0))
         x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
         fused = enc.apply(params, x)
@@ -138,6 +141,22 @@ def test_fused_matches_per_level_loop():
         g2 = jax.grad(lambda p: jnp.sum(enc.apply(p, x) ** 2))(params)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-4, atol=1e-7)
+
+        # packed=True (the default, bf16-feature fast path): values
+        # within bf16 quantization of the exact path, table gradient
+        # near-exact (fp32 scatter), input gradients within bf16 error
+        encp = GridEncoding(n_dims=3, n_levels=6, n_features_per_level=2,
+                            log2_hashmap_size=11, base_resolution=4,
+                            per_level_scale=1.6, grid_type=gtype)
+        assert encp.packed
+        pf = encp.apply(params, x)
+        scale = float(np.abs(np.asarray(loop)).max())
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(loop),
+                                   atol=scale * 8e-3)
+        g3 = jax.grad(lambda p: jnp.sum(encp.apply(p, x) ** 2))(params)
+        gs = float(np.abs(np.asarray(g2)).max())
+        np.testing.assert_allclose(np.asarray(g3), np.asarray(g2),
+                                   atol=gs * 1e-2)
 
 
 def test_fused_max_level_masking():

@@ -28,10 +28,13 @@ def test_tp_level_sharded_encoding_matches_replicated():
     from instant_ngp_tpu.ops.grid_encoding import GridEncoding
     from instant_ngp_tpu.parallel.tp import LevelShardedGrid
 
+    # packed=False: the TP path computes features in f32, so compare
+    # against the exact (unpacked) replicated encoding
     enc = GridEncoding.from_config(3, {
         "otype": "HashGrid", "n_levels": 8, "n_features_per_level": 2,
         "log2_hashmap_size": 10, "base_resolution": 4},
         dtype=jnp.float32)
+    enc.packed = False
     params = enc.init(jax.random.PRNGKey(1))
     sh = LevelShardedGrid(enc, 4)
     table = sh.pack(params)
