@@ -91,6 +91,13 @@ def sample_cells(key: jax.Array, density_grid: jax.Array, step: jax.Array,
         pick = jnp.where(any_ok, first, 9)
         return flat[pick, jnp.arange(n)]
 
+    if n_uniform == n_cascades * NERF_GRID_N_CELLS and n_nonuniform == 0:
+        # warmup "all cells" pass: exact enumeration, like the reference's
+        # density_grid_indices sweep (update_density_grid_nerf :2290-2300)
+        # — sampling with replacement would cover only ~63% per pass and
+        # burn 10x probe gathers on the hottest path
+        return jnp.arange(n_uniform, dtype=jnp.int32)
+
     uni = probe(k1, n_uniform, -0.01, 0)
     non = probe(k2, n_nonuniform, NERF_MIN_OPTICAL_THICKNESS, 2)
     return jnp.concatenate([uni, non])

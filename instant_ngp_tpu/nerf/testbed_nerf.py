@@ -97,11 +97,22 @@ class NerfTestbed:
         # on the full static capacity, so the multiplier is pure waste:
         # keep it small and let the adaptive ray batch hold generation
         # near the target; overflow rays drop like the reference's.
-        self.sample_capacity_multiplier = 2
+        # Every per-sample cost (encode gather, MLP, scatter) scales with
+        # the STATIC capacity, so 1x = the reference's effective network
+        # batch (fill_rollover pads the compacted batch to ~1x target).
+        self.sample_capacity_multiplier = 1
 
         # density-update sample counts; None = reference cadence
         # (all cells for the first 256 steps, then 1/4 + 1/4)
         self.density_samples_override = None
+        # TPU adaptation of the warmup cadence: the reference sweeps ALL
+        # grid cells every prep for the first 256 steps
+        # (training_prep_nerf :2933-2946) — ~5 ms each on an RTX 3090 but
+        # seconds on TPU (the encode is gather-descriptor-bound). Cap the
+        # number of full-grid sweeps; later preps use the steady-state
+        # 1/4-uniform + 1/4-occupied sampling, whose max-EMA converges to
+        # the same bitfield within a few passes.
+        self.warmup_full_grid_preps = 4
 
         # >1 fuses K (train + density-update) iterations into ONE jitted
         # lax.scan program: through the tunneled TPU backend each
@@ -224,11 +235,16 @@ class NerfTestbed:
         return self._train_fns[key]
 
     def _get_scanned_train_fn(self, n_rays: int, max_k: int, n_scan: int,
-                              mixed_density: bool):
+                              prep_mode: str):
         """One jitted program running n_scan x (density update + train
-        step) via lax.scan — a single tunnel dispatch per block."""
+        step) via lax.scan — a single tunnel dispatch per block.
+
+        prep_mode: 'per_step' (full-sweep density update before every
+        scanned step — warmup), 'lead' (one mixed update before the
+        block — a block starting on a 16-step prep boundary), or 'none'
+        (block entirely between prep boundaries)."""
         has_error_map = self._error_map is not None
-        key = ("scan", n_rays, max_k, n_scan, mixed_density,
+        key = ("scan", n_rays, max_k, n_scan, prep_mode,
                self._error_cdfs is not None, self._error_map_res,
                has_error_map)
         if key not in self._train_fns:
@@ -239,15 +255,13 @@ class NerfTestbed:
             n_cells = NERF_GRID_N_CELLS * n_cascades
             if self.density_samples_override is not None:
                 n_uni = self.density_samples_override
-                n_non = n_uni if mixed_density else 0
-            elif mixed_density:
-                n_uni = n_non = n_cells // 4
-            else:
+                n_non = 0 if prep_mode == "per_step" else n_uni
+            elif prep_mode == "per_step":
                 n_uni, n_non = n_cells, 0
+            else:
+                n_uni = n_non = n_cells // 4
             density_body = self._density_update_body(n_uni, n_non)
-            # reference cadence (testbed.cu:4060-4062): prep every step
-            # before step 256, then once per up-to-16-step block
-            prep_per_step = not mixed_density
+            prep_per_step = prep_mode == "per_step"
 
             def block(state, density_grid, error_map, data, bitfield,
                       mean_density, train_rngs, density_rngs, error_cdfs,
@@ -272,7 +286,7 @@ class NerfTestbed:
                             "measured_batch_size_before_compaction")}
                     return (new_st, grid, bf, mean, em2), out
 
-                if not prep_per_step:
+                if prep_mode == "lead":
                     params = self.optimizer.inference_params(
                         state["opt"], state["params"])
                     density_grid, bitfield, mean_density = density_body(
@@ -352,7 +366,7 @@ class NerfTestbed:
 
         return update
 
-    def _train_scanned_block(self, n_scan: int) -> None:
+    def _train_scanned_block(self, n_scan: int, prep_mode: str) -> None:
         """Run n_scan steps in one dispatch (steps_per_dispatch path)."""
         if self.training_step == 0 and not self.dataset.has_rays:
             if self._visible_cells is None:
@@ -363,8 +377,7 @@ class NerfTestbed:
         self._maybe_init_error_map()
         n_rays = self._bucket(self.rays_per_batch)
         max_k = self._bucket_k(n_rays)
-        mixed = self.training_step >= 256
-        fn = self._get_scanned_train_fn(n_rays, max_k, n_scan, mixed)
+        fn = self._get_scanned_train_fn(n_rays, max_k, n_scan, prep_mode)
         base = jax.random.PRNGKey(self.seed)
         train_rngs = jnp.stack([
             jax.random.fold_in(base, self.training_step + j)
@@ -389,8 +402,8 @@ class NerfTestbed:
                 self._rebuild_error_cdfs()
                 self._n_steps_since_error_update = 0
         self.training_step += n_scan
-        # one density update per steady-state block, n per warmup block
-        self.density_grid_ema_step += n_scan if not mixed else 1
+        self.density_grid_ema_step += {
+            "per_step": n_scan, "lead": 1, "none": 0}[prep_mode]
         return stats
 
     # ------------------------------------------------------------------
@@ -416,11 +429,11 @@ class NerfTestbed:
             self.density_grid = mark_untrained_cells(
                 self.density_grid, self._visible_cells)
 
+        full_sweep = self.training_step < self.warmup_full_grid_preps
         if self.density_samples_override is not None:
             n = self.density_samples_override
-            fn = self._get_density_fn(n, 0 if self.training_step < 256
-                                      else n)
-        elif self.training_step < 256:
+            fn = self._get_density_fn(n, 0 if full_sweep else n)
+        elif full_sweep:
             fn = self._get_density_fn(n_cells, 0)
         else:
             fn = self._get_density_fn(n_cells // 4, n_cells // 4)
@@ -523,6 +536,9 @@ class NerfTestbed:
     # are read (and rays/batch adapted) only every sync_every steps,
     # letting JAX's async dispatch pipeline the steps in between.
     sync_every = 16
+    # steady-state density-prep cadence (reference: every 16 steps once
+    # past step 256, testbed.cu:4060-4062)
+    prep_every = 16
 
     def train(self, n_steps: int) -> float:
         """n_steps full training iterations (prep + step + adapt)."""
@@ -533,13 +549,25 @@ class NerfTestbed:
         if K > 1 and not aux_active:
             done = 0
             while done < n_steps:
-                # keep blocks from straddling the 256-step density-
-                # cadence switch or overshooting the request
+                # unified prep schedule (same as the eager path): full
+                # sweep before each of the first warmup_full_grid_preps
+                # steps, then one mixed prep at every prep_every-step
+                # boundary. Blocks never straddle a boundary.
                 k = min(K, n_steps - done)
-                if self.training_step < 256:
-                    k = min(k, 256 - self.training_step)
+                step = self.training_step
+                if step < self.warmup_full_grid_preps:
+                    k = min(k, self.warmup_full_grid_preps - step)
+                    mode = "per_step"
+                else:
+                    off = step % self.prep_every
+                    if off == 0:
+                        mode = "lead"
+                        k = min(k, self.prep_every)
+                    else:
+                        mode = "none"
+                        k = min(k, self.prep_every - off)
                 with self.timers.time("training_prep"):
-                    stats = self._train_scanned_block(k)
+                    stats = self._train_scanned_block(k, mode)
                 done += k
                 with self.timers.time("train_sync"):
                     self._sync_stats([stats])
@@ -547,13 +575,16 @@ class NerfTestbed:
 
         pending = []  # (stats, step_idx) not yet synced
         for i in range(n_steps):
-            # density-grid maintenance cadence: the reference skips prep
-            # with n_prep_to_skip = clamp(step/16, 1, 16) (testbed.cu:
-            # 4060-4062) — every step early on, every 16 steps in steady
-            # state. Round 1 ran it EVERY step: a 16x waste on the most
-            # expensive inference pass in the loop.
-            n_prep_to_skip = min(max(self.training_step // 16, 1), 16)
-            if self.training_step % n_prep_to_skip == 0:
+            # density-grid maintenance cadence — TPU adaptation of the
+            # reference's (testbed.cu:4060-4062 preps every step before
+            # step 256, then every 16): each full-grid sweep costs
+            # seconds on TPU (encode is gather-descriptor-bound), so we
+            # run warmup_full_grid_preps per-step full sweeps, then one
+            # mixed 1/4+1/4 prep at every prep_every-step boundary. The
+            # same schedule drives the scanned (steps_per_dispatch)
+            # path so the two are bit-identical.
+            if (self.training_step < self.warmup_full_grid_preps
+                    or self.training_step % self.prep_every == 0):
                 with self.timers.time("training_prep"):
                     self.training_prep()
             self._maybe_init_error_map()
