@@ -111,7 +111,8 @@ class NerfNetwork:
     def apply_components(self, params, pos_comps, dir_comps,
                          extra: Optional[jax.Array] = None,
                          max_level: Optional[jax.Array] = None,
-                         pos_feats: Optional[jax.Array] = None):
+                         pos_feats: Optional[jax.Array] = None,
+                         encode_rng: Optional[jax.Array] = None):
         """Structure-of-arrays forward: pos/dir as lists of 3 (N,) arrays.
 
         Returns (rgb_raw (N, 3-as-channels...), density_raw (N,)) — i.e. a
@@ -120,9 +121,20 @@ class NerfNetwork:
 
         pos_feats: optional precomputed position features (the tensor-
         parallel path computes them with a level-sharded table and
-        all-gathers before the MLPs — parallel/tp.py)."""
+        all-gathers before the MLPs — parallel/tp.py).
+
+        encode_rng: when given (training only) the grid encoding runs in
+        stochastic-corner mode — one sampled corner per (sample, level)
+        instead of 2^d, an unbiased estimator with 8x fewer gather/scatter
+        descriptors (the measured cost unit on TPU). Callers needing
+        dL/d(pos) must leave it None."""
         if pos_feats is not None:
             feats = pos_feats
+        elif encode_rng is not None and hasattr(self.pos_encoding,
+                                                "apply_components"):
+            feats = self.pos_encoding.apply_components(
+                params["pos_encoding"], pos_comps, max_level=max_level,
+                rng=encode_rng)
         elif hasattr(self.pos_encoding, "apply_components"):
             feats = self.pos_encoding.apply_components(
                 params["pos_encoding"], pos_comps, max_level=max_level)

@@ -59,24 +59,29 @@ class LevelShardedGrid:
 
     # -- host-side packing --------------------------------------------
     def pack(self, flat: jax.Array) -> jax.Array:
-        """(n_params,) -> (L, Tmax, F), zero-padded rows."""
+        """(n_params,) planar flat -> (L, Tmax, F), zero-padded rows."""
         f = self.enc.n_features_per_level
+        w = self.enc._n_words
         out = np.zeros((self.enc.n_levels, self.max_rows, f), np.float32)
         flat = np.asarray(flat)
         for lvl in range(self.enc.n_levels):
             size = int(self.enc._sizes[lvl])
-            start = int(self.enc._offsets[lvl]) * f
-            out[lvl, :size] = flat[start:start + size * f].reshape(size, f)
+            start = int(self.enc._offsets[lvl])
+            for k in range(f):
+                out[lvl, :size, k] = flat[k * w + start:k * w + start + size]
         return jnp.asarray(out)
 
     def unpack(self, table) -> jax.Array:
         f = self.enc.n_features_per_level
+        w = self.enc._n_words
         table = np.asarray(table)
-        parts = []
+        flat = np.zeros(self.enc.n_params, np.float32)
         for lvl in range(self.enc.n_levels):
             size = int(self.enc._sizes[lvl])
-            parts.append(table[lvl, :size].reshape(-1))
-        return jnp.asarray(np.concatenate(parts))
+            start = int(self.enc._offsets[lvl])
+            for k in range(f):
+                flat[k * w + start:k * w + start + size] = table[lvl, :size, k]
+        return jnp.asarray(flat)
 
     # -- device-side level-uniform featurization ----------------------
     def _dynamic_level_features(self, table_row: jax.Array, lvl: jax.Array,

@@ -170,3 +170,69 @@ def test_fused_max_level_masking():
     out = np.asarray(enc.apply(params, x, max_level=1))
     assert np.abs(out[:, :4]).max() > 0
     np.testing.assert_allclose(out[:, 4:], 0.0)
+
+
+def test_stochastic_corner_unbiased_forward_and_grad():
+    """The stochastic 1-of-2^d corner estimator must match the exact
+    d-linear encode (and its table gradient) in expectation."""
+    enc = GridEncoding(n_dims=3, n_levels=4, n_features_per_level=2,
+                       log2_hashmap_size=8, base_resolution=4,
+                       per_level_scale=1.5)
+    params = jax.random.normal(jax.random.PRNGKey(0),
+                               (enc.n_params,)) * 0.3
+    n = 128
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=0.05,
+                           maxval=0.95)
+    comps = tuple(x[:, k] for k in range(3))
+
+    exact = np.asarray(enc.apply_components(params, comps))
+
+    @jax.jit
+    def stoch(rng):
+        return enc.apply_components(params, comps, rng=rng)
+
+    reps = 3000
+    keys = jax.random.split(jax.random.PRNGKey(2), reps)
+    acc = np.zeros_like(exact)
+    for i in range(0, reps, 500):
+        batch = jax.vmap(stoch)(keys[i:i + 500])
+        acc += np.asarray(jnp.sum(batch, axis=0))
+    mean = acc / reps
+    scale = np.abs(exact).max()
+    # MC error ~ sigma/sqrt(reps); bf16 packing adds ~0.4% quantization
+    np.testing.assert_allclose(mean, exact, atol=scale * 0.08)
+
+    # gradient expectation: dL/dparams of sum(out * W) for fixed W
+    w = np.asarray(jax.random.normal(jax.random.PRNGKey(3),
+                                     exact.shape), np.float32)
+
+    def loss_exact(p):
+        return jnp.sum(enc.apply_components(p, comps) * w)
+
+    g_exact = np.asarray(jax.grad(loss_exact)(params))
+
+    @jax.jit
+    def g_stoch(rng):
+        return jax.grad(lambda p: jnp.sum(
+            enc.apply_components(p, comps, rng=rng) * w))(params)
+
+    gacc = np.zeros_like(g_exact)
+    for i in range(0, reps, 500):
+        batch = jax.vmap(g_stoch)(keys[i:i + 500])
+        gacc += np.asarray(jnp.sum(batch, axis=0))
+    gmean = gacc / reps
+    gs = np.abs(g_exact).max()
+    np.testing.assert_allclose(gmean, g_exact, atol=gs * 0.08)
+
+
+def test_stochastic_corner_max_level_masks():
+    enc = GridEncoding(n_dims=2, n_levels=4, n_features_per_level=2,
+                       log2_hashmap_size=10, base_resolution=4)
+    params = enc.init(jax.random.PRNGKey(0)) + 0.5
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 2))
+    comps = tuple(x[:, k] for k in range(2))
+    out = np.asarray(enc.apply_components(
+        params, comps, max_level=jnp.asarray(1.0),
+        rng=jax.random.PRNGKey(2)))
+    assert np.abs(out[:, :4]).max() > 0
+    np.testing.assert_allclose(out[:, 4:], 0.0)
