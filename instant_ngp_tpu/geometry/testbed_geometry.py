@@ -63,29 +63,33 @@ class NerfObject:
         self.testbed = None
         if path.endswith((".ingp", ".msgpack")) and os.path.exists(path):
             snap = load_snapshot(path)
-            # rebuild a standalone NeRF model from the embedded config
-            from ..nerf.model import NerfNetwork
-
-            cfg = snap["config"]
-            aabb_scale = int(snap.get("aabb_scale", 1))
-            self.model = NerfNetwork(
-                3, 3, 0, cfg["encoding"],
-                cfg.get("dir_encoding",
-                        {"otype": "SphericalHarmonics", "degree": 4}),
-                cfg["network"], cfg.get("rgb_network", cfg["network"]),
-                aabb_scale=aabb_scale)
-            self.params = jax.tree_util.tree_map(
-                jnp.asarray, snap["trainer"]["params"])
-            self.density_grid = jnp.asarray(snap["density_grid"])
-            self.aabb_scale = aabb_scale
-            side = min(aabb_scale, 128)
-            lo = np.full(3, 0.5 - side / 2, np.float32) + self.center
-            hi = np.full(3, 0.5 + side / 2, np.float32) + self.center
-            self.aabb = (lo, hi)
+            self._init_model(snap["config"], int(snap.get("aabb_scale", 1)),
+                             snap["trainer"]["params"],
+                             snap["density_grid"])
         else:
             self.model = None
             self.params = None
+            self.config = None
             self.aabb = (self.center + 0.0, self.center + 1.0)
+
+    def _init_model(self, cfg, aabb_scale: int, params, density_grid):
+        """Rebuild a standalone NeRF model from an embedded config."""
+        from ..nerf.model import NerfNetwork
+
+        self.config = cfg
+        self.model = NerfNetwork(
+            3, 3, 0, cfg["encoding"],
+            cfg.get("dir_encoding",
+                    {"otype": "SphericalHarmonics", "degree": 4}),
+            cfg["network"], cfg.get("rgb_network", cfg["network"]),
+            aabb_scale=aabb_scale)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.density_grid = jnp.asarray(density_grid)
+        self.aabb_scale = aabb_scale
+        side = min(aabb_scale, 128)
+        lo = np.full(3, 0.5 - side / 2, np.float32) + self.center
+        hi = np.full(3, 0.5 + side / 2, np.float32) + self.center
+        self.aabb = (lo, hi)
 
 
 class GeometryTestbed:
@@ -262,10 +266,104 @@ class GeometryTestbed:
                 np.asarray(depth_ray))
 
     # ------------------------------------------------------------------
+    # Snapshots. The reference geometry mode cannot snapshot at all
+    # (training is disabled and load_snapshot rejects the mode); here a
+    # geometry snapshot is SELF-CONTAINED: mesh objects embed their
+    # triangles + BRDF, NeRF objects embed the same state a NeRF
+    # snapshot carries (config, params, density grid), so a scene
+    # round-trips with no external files.
     def save_snapshot(self, path: str) -> None:
-        raise NotImplementedError(
-            "geometry mode has no trainable state; snapshot the underlying "
-            "NeRF objects instead (matches reference: training disabled)")
+        import dataclasses
 
-    def load_snapshot_state(self, snapshot) -> None:
-        raise NotImplementedError
+        from ..data.snapshot import save_snapshot as _save
+
+        objects = []
+        for m in self.meshes:
+            objects.append({
+                "type": "Mesh",
+                "center": np.asarray(m.center, np.float32),
+                "triangles": (m.triangles
+                              - m.center[None, None, :]).astype(np.float32),
+                "brdf": dataclasses.asdict(m.brdf),
+            })
+        for n in self.nerfs:
+            entry: Dict[str, Any] = {
+                "type": "Nerf",
+                "center": np.asarray(n.center, np.float32),
+                "path": n.path,
+            }
+            if n.model is not None:
+                entry["nerf"] = {
+                    "config": n.config,
+                    "aabb_scale": n.aabb_scale,
+                    "params": n.params,
+                    "density_grid": n.density_grid,
+                }
+            objects.append(entry)
+        _save(path, {
+            "mode": "geometry",
+            "objects": objects,
+            "sun_dir": self.sun_dir,
+            "light_dir": self.light_dir,
+            "background_color": self.background_color,
+        })
+
+    def load_snapshot_state(self, snapshot: Dict[str, Any]) -> None:
+        from .geometry_bvh import GeometryBvh
+
+        self.meshes = []
+        self.nerfs = []
+        for entry in snapshot.get("objects", []):
+            center = np.asarray(entry["center"], np.float32)
+            if entry["type"] == "Mesh":
+                m = MeshObject.__new__(MeshObject)
+                m.center = center
+                m.triangles = (np.asarray(entry["triangles"], np.float32)
+                               + center[None, None, :])
+                if len(m.triangles):
+                    flat = m.triangles.reshape(-1, 3)
+                    m.aabb = (flat.min(0), flat.max(0))
+                    m.scale = float((m.aabb[1] - m.aabb[0]).max())
+                    m.bvh = TriangleBvh(m.triangles, leaf_size=8)
+                else:
+                    m.aabb = (np.zeros(3, np.float32),
+                              np.zeros(3, np.float32))
+                    m.scale = 1.0
+                    m.bvh = None
+                m.brdf = BRDFParams(**{
+                    k: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+                    for k, v in entry.get("brdf", {}).items()})
+                self.meshes.append(m)
+            elif entry["type"] == "Nerf":
+                n = NerfObject.__new__(NerfObject)
+                n.center = center
+                n.path = entry.get("path", "")
+                n.testbed = None
+                if "nerf" in entry:
+                    n._init_model(entry["nerf"]["config"],
+                                  int(entry["nerf"]["aabb_scale"]),
+                                  entry["nerf"]["params"],
+                                  entry["nerf"]["density_grid"])
+                else:
+                    n.model = None
+                    n.params = None
+                    n.aabb = (n.center + 0.0, n.center + 1.0)
+                self.nerfs.append(n)
+        self.mesh_bvh = GeometryBvh([m.aabb for m in self.meshes]) \
+            if self.meshes else None
+        self.nerf_bvh = GeometryBvh([n.aabb for n in self.nerfs]) \
+            if self.nerfs else None
+        for k in ("sun_dir", "light_dir", "background_color"):
+            if k in snapshot:
+                setattr(self, k, np.asarray(snapshot[k], np.float32))
+
+    @classmethod
+    def from_snapshot(cls, snapshot: Dict[str, Any]) -> "GeometryTestbed":
+        tb = cls.__new__(cls)
+        tb.training_step = 0
+        tb.loss_scalar = float("nan")
+        tb.sun_dir = np.array([0.577, -0.577, 0.577], np.float32)
+        tb.light_dir = np.array([0.577, 0.577, 0.577], np.float32)
+        tb.background_color = np.array([1.0, 1.0, 1.0], np.float32)
+        tb.load_snapshot_state(snapshot)
+        return tb

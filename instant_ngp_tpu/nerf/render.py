@@ -172,21 +172,33 @@ def camera_rays_for_frame(width: int, height: int, focal_length,
                           camera_matrix, screen_center=(0.5, 0.5),
                           lens_mode: int = 0, lens_params=None,
                           distortion_map: Optional[jax.Array] = None,
-                          jitter: Optional[jax.Array] = None
+                          jitter: Optional[jax.Array] = None,
+                          aperture_size: float = 0.0, focus_z: float = 1.0,
+                          aperture_key: Optional[jax.Array] = None
                           ) -> Tuple[jax.Array, jax.Array]:
     """(H*W, 3) origins + normalized dirs for a full frame. `jitter` (2,)
-    is the subpixel offset for spp accumulation (default pixel centers)."""
+    is the subpixel offset for spp accumulation (default pixel centers).
+
+    aperture_size/focus_z: depth of field (init_rays_with_payload_kernel,
+    testbed_nerf.cu:1392-1399 — per-pixel disk-sampled origin offset with
+    the direction refocused on the focus plane). aperture_key draws the
+    per-pixel disk samples; required when aperture_size > 0."""
     x = jnp.arange(width, dtype=jnp.float32)
     y = jnp.arange(height, dtype=jnp.float32)
     off = jnp.asarray([0.5, 0.5]) if jitter is None else jitter
     uv = jnp.stack(jnp.meshgrid((x + off[0]) / width,
                                 (y + off[1]) / height, indexing="xy"),
                    axis=-1).reshape(-1, 2)
+    ap_samples = None
+    if aperture_size != 0.0 and aperture_key is not None:
+        ap_samples = jax.random.uniform(aperture_key, (uv.shape[0], 2))
     origins, dirs, _ = uv_to_ray(
         uv, (width, height), jnp.asarray(focal_length, jnp.float32),
         jnp.asarray(camera_matrix, jnp.float32), screen_center,
         lens_mode=lens_mode, lens_params=lens_params,
-        distortion_map=distortion_map)
+        distortion_map=distortion_map,
+        aperture_size=aperture_size, focus_z=focus_z,
+        aperture_samples=ap_samples)
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     return origins, dirs
 

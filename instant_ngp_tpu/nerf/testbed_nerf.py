@@ -102,6 +102,13 @@ class NerfTestbed:
         # batch (fill_rollover pads the compacted batch to ~1x target).
         self.sample_capacity_multiplier = 1
 
+        # stochastic-corner grid encoding during training: unbiased
+        # 1-of-2^d corner sampling, 8x fewer gather/scatter descriptors
+        # (the dominant train-step cost on TPU). Exact d-linear encode is
+        # used automatically whenever camera/distortion optimization
+        # needs spatial input gradients, and always at render time.
+        self.stochastic_corners = True
+
         # density-update sample counts; None = reference cadence
         # (all cells for the first 256 steps, then 1/4 + 1/4)
         self.density_samples_override = None
@@ -209,13 +216,15 @@ class NerfTestbed:
             optimize_exposure=self.optimize_exposure,
             use_error_map=self.use_error_map_sampling,
             error_map_res=self._error_map_res,
+            stochastic_corners=self.stochastic_corners,
         )
 
     def _get_train_fn(self, n_rays: int, max_k: int):
         key = (n_rays, max_k, self.optimize_extrinsics,
                self.optimize_focal_length, self.optimize_exposure,
                self.train_envmap, self.optimize_distortion,
-               self._error_cdfs is not None, self._error_map_res)
+               self._error_cdfs is not None, self._error_map_res,
+               self.stochastic_corners)
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)
             aabb_min = jnp.asarray(self.scene.aabb_min)
@@ -754,13 +763,27 @@ class NerfTestbed:
                      tile: int = 1 << 13,
                      lens_mode: int = 0, lens_params=None,
                      screen_center=(0.5, 0.5),
-                     use_distortion_map: bool = False) -> np.ndarray:
+                     use_distortion_map: bool = False,
+                     aperture_size: float = 0.0,
+                     focus_z: float = 1.0,
+                     use_envmap_background: Optional[bool] = None
+                     ) -> np.ndarray:
         """Render a frame; returns (H, W, 4) linear float32.
 
         camera_matrix: (3, 4) NGP-space camera. focal_length defaults to a
         50mm-ish fov scaled from the training camera if available.
         spp > 1 accumulates jittered subpixel samples (render_buffer
-        accumulate semantics)."""
+        accumulate semantics).
+
+        aperture_size/focus_z: depth of field (reference m_aperture_size /
+        m_slice_plane_z autofocus pipeline, testbed.cu:2777-2802 +
+        init_rays kernel) — each spp sample draws fresh per-pixel disk
+        offsets, so accumulation converges to the thin-lens blur.
+
+        use_envmap_background: composite the trained/loaded envmap behind
+        the scene, per-ray by direction (render_nerf,
+        testbed_nerf.cu:1862-1866). Defaults to on whenever an envmap is
+        being trained."""
         from ..ops.sampling import ld_pixel_offset
         from .render import camera_rays_for_frame
 
@@ -787,8 +810,20 @@ class NerfTestbed:
 
         params = self.inference_params()
         fn = self._get_render_fn(tile, render_mode, min_transmittance)
-        bg = jnp.broadcast_to(jnp.asarray(background_color, jnp.float32),
-                              (tile, 3))
+        bg_const = jnp.broadcast_to(
+            jnp.asarray(background_color, jnp.float32), (tile, 3))
+
+        if use_envmap_background is None:
+            use_envmap_background = self.train_envmap
+        env_params = self.envmap.params if use_envmap_background else None
+        if env_params is not None:
+            from ..ops.trainable_buffer import read_envmap
+
+            if not hasattr(self, "_env_bg_fn"):
+                # envmap over the constant background, premult-alpha
+                self._env_bg_fn = jax.jit(lambda ep, d, b: (
+                    lambda e: e[..., :3] + b * (1.0 - e[..., 3:4]))(
+                        read_envmap(ep, d)))
 
         n_pixels = width * height
         acc = jnp.zeros((n_pixels, 4), jnp.float32)
@@ -801,21 +836,27 @@ class NerfTestbed:
             if not hasattr(self, "_ray_fns"):
                 self._ray_fns = {}
             rk = (width, height, lens_mode, lens_params is not None,
-                  dist_map is not None, jitter is not None)
+                  dist_map is not None, jitter is not None,
+                  float(aperture_size), float(focus_z))
             if rk not in self._ray_fns:
                 self._ray_fns[rk] = jax.jit(
-                    lambda fl, cam, sc, lp, dm, jit_off:
+                    lambda fl, cam, sc, lp, dm, jit_off, ap_key:
                     camera_rays_for_frame(
                         width, height, fl, cam, screen_center=sc,
                         lens_mode=lens_mode, lens_params=lp,
-                        distortion_map=dm, jitter=jit_off))
+                        distortion_map=dm, jitter=jit_off,
+                        aperture_size=aperture_size, focus_z=focus_z,
+                        aperture_key=ap_key),
+                    static_argnames=())
+            ap_key = (jax.random.fold_in(jax.random.PRNGKey(0xAB), s)
+                      if aperture_size != 0.0 else None)
             origins, dirs = self._ray_fns[rk](
                 jnp.asarray(fl, jnp.float32),
                 jnp.asarray(camera_matrix, jnp.float32),
                 jnp.asarray(screen_center, jnp.float32),
                 None if lens_params is None
                 else jnp.asarray(lens_params, jnp.float32),
-                dist_map, jitter)
+                dist_map, jitter, ap_key)
             n_pad = (n_pixels + tile - 1) // tile * tile
             o = jnp.concatenate(
                 [origins, jnp.zeros((n_pad - n_pixels, 3))])
@@ -823,7 +864,10 @@ class NerfTestbed:
                 [dirs, jnp.ones((n_pad - n_pixels, 3)) * 0.577])
             rgbs, alphas, depths = [], [], []
             for i in range(0, n_pad, tile):
-                out = fn(params, o[i:i + tile], d[i:i + tile],
+                d_tile = d[i:i + tile]
+                bg = bg_const if env_params is None else \
+                    self._env_bg_fn(env_params, d_tile, bg_const)
+                out = fn(params, o[i:i + tile], d_tile,
                          self.bitfield, bg)
                 rgbs.append(out["rgb"])
                 alphas.append(out["alpha"])

@@ -245,6 +245,12 @@ class Testbed:
         snap = load_snapshot(path)
         self.mode = TestbedMode(snap.get("mode", "none"))
         self.network_config = snap.get("config")
+        if self.mode == TestbedMode.Geometry and self.impl is None:
+            # geometry snapshots are self-contained (objects embedded)
+            from .geometry.testbed_geometry import GeometryTestbed
+
+            self.impl = GeometryTestbed.from_snapshot(snap)
+            return
         if self.impl is None and self.data_path:
             self._maybe_create_impl(reset=True)
         if self.impl is not None:

@@ -72,3 +72,30 @@ def test_armadillo_bvh_build():
     d = bvh.signed_distance(np.array([[0.5, 0.5, 0.5]], np.float32),
                             mode="Raystab")
     assert np.isfinite(d).all()
+
+
+@needs_data
+def test_geometry_snapshot_roundtrip(tmp_path):
+    """Geometry snapshots are self-contained: the scene round-trips with
+    no external files (exceeds the reference, which cannot snapshot the
+    mode at all — training is disabled, testbed.cu:4026-4030)."""
+    from instant_ngp_tpu.geometry import GeometryTestbed
+    from instant_ngp_tpu.testbed import Testbed
+
+    path = os.path.join(DATA, "geometry/geometrypaths.json")
+    if not os.path.exists(path):
+        pytest.skip("geometry scene not present")
+    tb = GeometryTestbed(path)
+    cam = np.array([[1, 0, 0, 0.0], [0, -1, 0, 0.0], [0, 0, -1, 3.0]],
+                   np.float32)
+    ref = tb.render_frame(24, 24, cam)
+
+    snap_path = str(tmp_path / "scene.ingp")
+    tb.save_snapshot(snap_path)
+
+    # restore through the public facade with NO scene file
+    tb2 = Testbed()
+    tb2.load_snapshot(snap_path)
+    assert len(tb2.impl.meshes) == len(tb.meshes)
+    img = tb2.impl.render_frame(24, 24, cam)
+    np.testing.assert_allclose(img, ref, atol=1e-5)
