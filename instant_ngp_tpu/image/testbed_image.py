@@ -92,6 +92,10 @@ class ImageTestbed:
         # >1: fuse K steps into one lax.scan dispatch (tunnel latency)
         self.steps_per_dispatch = 1
         self._train_fn = None
+        # stochastic-corner grid encoding during training (unbiased,
+        # 2^d fewer gather/scatter descriptors — the dominant cost on
+        # TPU). Exact d-linear encode always used at render/eval time.
+        self.stochastic_corners = True
 
     # ------------------------------------------------------------------
     # target fetch — eval_image_kernel_and_snap (testbed_image.cu:164-222)
@@ -141,8 +145,10 @@ class ImageTestbed:
         when every dispatch pays tunnel latency)."""
         mode = self.random_mode
         seed = self.seed
+        stoch = self.stochastic_corners
 
         def one_step(state, image, step, key):
+            enc_key = jax.random.fold_in(key, 0x5C) if stoch else None
             if mode in ("Halton", "Sobol"):
                 # QMC sequences advance by batch_size per training step
                 base = (step * batch_size).astype(jnp.uint32)
@@ -156,7 +162,8 @@ class ImageTestbed:
                         and log2 % 2 == 0):
                     positions = stratify2(positions, log2)
             positions, targets = self._fetch_targets(image, positions)
-            return self.trainer.train_step(state, positions, targets)
+            return self.trainer.train_step(state, positions, targets,
+                                           encode_rng=enc_key)
 
         if self.steps_per_dispatch > 1:
             def block(state, image, step0, keys):
@@ -173,7 +180,8 @@ class ImageTestbed:
 
     def train(self, n_steps: int, batch_size: int = 1 << 18) -> float:
         """Run n_steps training steps; returns last loss."""
-        cache_key = (batch_size, min(self.steps_per_dispatch, n_steps))
+        cache_key = (batch_size, min(self.steps_per_dispatch, n_steps),
+                     self.stochastic_corners)
         if self._train_n != cache_key:
             self._train_fn = self._make_train_fn(batch_size)
             self._train_n = cache_key

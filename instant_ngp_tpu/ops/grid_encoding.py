@@ -233,14 +233,16 @@ class GridEncoding(Encoding):
         return idx, weights
 
     def apply(self, params: jax.Array, x: jax.Array,
-              max_level: Optional[jax.Array] = None, **kwargs) -> jax.Array:
+              max_level: Optional[jax.Array] = None,
+              rng: Optional[jax.Array] = None, **kwargs) -> jax.Array:
         """Encode x (..., d) in [0,1]^d -> (..., L*F) features.
 
         max_level: optional scalar; levels with index > max_level produce
         zeros (reference set_max_level_gpu coarse-to-fine masking).
+        rng: training-only stochastic-corner mode (see apply_components).
         """
         if self.fused:
-            return self._apply_fused(params, x, max_level)
+            return self._apply_fused(params, x, max_level, rng=rng)
         lead = x.shape[:-1]
         xf = x.reshape(-1, self.n_dims).astype(jnp.float32)
         n = xf.shape[0]
@@ -299,11 +301,12 @@ class GridEncoding(Encoding):
         return fc
 
     def _apply_fused(self, params: jax.Array, x: jax.Array,
-                     max_level: Optional[jax.Array] = None) -> jax.Array:
+                     max_level: Optional[jax.Array] = None,
+                     rng: Optional[jax.Array] = None) -> jax.Array:
         lead = x.shape[:-1]
         xf = x.reshape(-1, self.n_dims).astype(jnp.float32)
         comps = [xf[:, k] for k in range(self.n_dims)]
-        out = self.apply_components(params, comps, max_level)
+        out = self.apply_components(params, comps, max_level, rng=rng)
         return out.reshape(*lead, self.n_output_dims)
 
     def _fused_parts(self, comps, max_level=None, need_grads=False):

@@ -144,6 +144,15 @@ class NetworkWithInputEncoding:
                 "net": self.network.init(k_net)}
 
     def apply(self, params: Dict[str, Any], x: jax.Array,
-              max_level: Optional[jax.Array] = None) -> jax.Array:
-        feats = self.encoding.apply(params["encoding"], x, max_level=max_level)
+              max_level: Optional[jax.Array] = None,
+              encode_rng: Optional[jax.Array] = None) -> jax.Array:
+        """encode_rng: training-only stochastic-corner grid sampling
+        (unbiased, 2^d fewer gather/scatter descriptors — see
+        GridEncoding). Ignored by encodings without an rng mode."""
+        if encode_rng is not None and hasattr(self.encoding, "pack_params"):
+            feats = self.encoding.apply(params["encoding"], x,
+                                        max_level=max_level, rng=encode_rng)
+        else:
+            feats = self.encoding.apply(params["encoding"], x,
+                                        max_level=max_level)
         return self.network.apply(params["net"], feats)

@@ -73,17 +73,26 @@ class Trainer:
         return self.model.n_params
 
     # -- core step (pure function; jit/pjit-able) -----------------------
-    def _loss(self, params, inputs, targets):
-        pred = self.model.apply(params, inputs)
+    def _loss(self, params, inputs, targets, encode_rng=None):
+        if encode_rng is not None:
+            pred = self.model.apply(params, inputs, encode_rng=encode_rng)
+        else:
+            pred = self.model.apply(params, inputs)
         return self.loss_fn(pred, targets)
 
     def train_step(self, state: Dict[str, Any], inputs: jax.Array,
-                   targets: jax.Array) -> Tuple[Dict[str, Any], jax.Array]:
-        """One standard step: fwd, bwd, optimizer update. Pure function."""
+                   targets: jax.Array,
+                   encode_rng: Optional[jax.Array] = None
+                   ) -> Tuple[Dict[str, Any], jax.Array]:
+        """One standard step: fwd, bwd, optimizer update. Pure function.
+
+        encode_rng: opt-in stochastic-corner grid encoding (unbiased,
+        2^d fewer gather/scatter descriptors on TPU; see GridEncoding).
+        """
         scale = self.loss_scale
 
         def scaled_loss(p):
-            return self._loss(p, inputs, targets) * scale
+            return self._loss(p, inputs, targets, encode_rng) * scale
 
         loss, grads = jax.value_and_grad(scaled_loss)(state["params"])
         if scale != 1.0:
@@ -122,11 +131,11 @@ class Trainer:
         return {"params": new_params, "opt": new_opt}, loss_value
 
     # -- convenience (stateful, auto-jit) -------------------------------
-    def training_step(self, state, inputs, targets):
+    def training_step(self, state, inputs, targets, encode_rng=None):
         """Jitted wrapper around train_step (compiled once per shape)."""
         if self._jitted_step is None:
             self._jitted_step = jax.jit(self.train_step)
-        return self._jitted_step(state, inputs, targets)
+        return self._jitted_step(state, inputs, targets, encode_rng)
 
     def inference_params(self, state):
         """Params for rendering: the EMA copy when present (reference uses

@@ -182,6 +182,10 @@ class SdfTestbed:
                                np.asarray(distances, np.float32))
 
     # ------------------------------------------------------------------
+    # stochastic-corner grid encoding during training (unbiased, 2^d
+    # fewer gather/scatter descriptors on TPU; no-op for octree configs)
+    stochastic_corners = True
+
     def train(self, n_steps: int, batch_size: int = 1 << 18) -> float:
         for _ in range(n_steps):
             if self._override_data is not None:
@@ -190,8 +194,12 @@ class SdfTestbed:
                 pos, dist = pos[perm], dist[perm]
             else:
                 pos, dist = self.generate_training_samples(batch_size)
+            enc_key = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed ^ 0x5C), self.training_step) \
+                if self.stochastic_corners else None
             self.state, loss = self.trainer.training_step(
-                self.state, jnp.asarray(pos), jnp.asarray(dist)[:, None])
+                self.state, jnp.asarray(pos), jnp.asarray(dist)[:, None],
+                encode_rng=enc_key)
             self.training_step += 1
         self.loss_scalar = float(loss)
         return self.loss_scalar

@@ -283,12 +283,15 @@ class VolumeTestbed:
     def _make_train_fn(self, batch_size: int):
         n_paths = batch_size // MAX_TRAIN_VERTICES
 
+        stoch = getattr(self, "stochastic_corners", True)
+
         def step(state, key):
-            k_gen, _ = jax.random.split(key)
+            k_gen, k_enc = jax.random.split(key)
             pos, targets, valid = self._generate_training_data(k_gen, n_paths)
 
             def loss_fn(params):
-                pred = self.model.apply(params, pos)
+                pred = self.model.apply(
+                    params, pos, encode_rng=k_enc if stoch else None)
                 per = (pred - targets) ** 2
                 return jnp.sum(jnp.where(valid[:, None], per, 0.0)) \
                     / (pred.size)
