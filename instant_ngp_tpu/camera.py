@@ -179,8 +179,10 @@ def uv_to_ray(uv: jax.Array, resolution, focal_length: jax.Array,
     elif lens_mode == LENS_EQUIRECT:
         dir = equirectangular_to_dir(uv)
     else:
-        x = (uv[..., 0] - screen_center[0]) * resolution[0] / focal_length[..., 0]
-        y = (uv[..., 1] - screen_center[1]) * resolution[1] / focal_length[..., 1]
+        x = (uv[..., 0] - screen_center[..., 0]) * resolution[..., 0] \
+            / focal_length[..., 0]
+        y = (uv[..., 1] - screen_center[..., 1]) * resolution[..., 1] \
+            / focal_length[..., 1]
         if lens_mode == LENS_OPENCV:
             x, y = iterative_lens_undistortion(
                 lens_params, x, y, opencv_lens_distortion_delta)
@@ -233,8 +235,8 @@ def pos_to_uv(pos: jax.Array, resolution, focal_length: jax.Array,
     elif lens_mode == LENS_OPENCV_FISHEYE:
         du, dv = opencv_fisheye_lens_distortion_delta(lens_params, x, y)
         x, y = x + du, y + dv
-    u = x * focal_length[..., 0] / resolution[0] + screen_center[0]
-    v = y * focal_length[..., 1] / resolution[1] + screen_center[1]
+    u = x * focal_length[..., 0] / resolution[..., 0] + screen_center[..., 0]
+    v = y * focal_length[..., 1] / resolution[..., 1] + screen_center[..., 1]
     return jnp.stack([u, v], axis=-1), z
 
 

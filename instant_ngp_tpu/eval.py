@@ -52,11 +52,10 @@ def eval_nerf_views(testbed, data=None, indices: Optional[List[int]] = None,
     if indices is None:
         indices = list(range(data.n_images))
 
-    w0, h0 = data.resolution
-    w, h = w0 // downscale, h0 // downscale
-
     psnrs, ssims, flips = [], [], []
     for i in indices:
+        w0, h0 = (int(v) for v in np.asarray(data.resolutions[i]))
+        w, h = w0 // downscale, h0 // downscale
         fl = np.asarray(data.focal_lengths[i]) * np.array(
             [w / w0, h / h0])
         cam = np.asarray(data.xforms_start[i])
@@ -69,7 +68,7 @@ def eval_nerf_views(testbed, data=None, indices: Optional[List[int]] = None,
             screen_center=np.asarray(data.principal_points[i]))
         pred = np.clip(render[..., :3], 0.0, 1.0)
 
-        gt = gt_srgb_on_black(np.asarray(data.pixels[i]))
+        gt = gt_srgb_on_black(np.asarray(data.pixels[i])[:h0, :w0])
         if downscale != 1:
             gt = gt[::downscale, ::downscale][:h, :w]
 

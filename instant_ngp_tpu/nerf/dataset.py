@@ -32,7 +32,7 @@ MASK_COLOR = 0x00FF00FF  # hot pink RGBA bytes marking masked-away pixels
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["pixels", "xforms_start", "xforms_end",
+         data_fields=["pixels", "resolutions", "xforms_start", "xforms_end",
                       "focal_lengths", "principal_points", "rolling_shutter",
                       "lens_params", "exposures", "depths", "extra_dims"],
          meta_fields=[])
@@ -41,7 +41,8 @@ class NerfTrainingData:
     """All tensors the jitted train step consumes. A pytree-of-arrays
     container (device side); static metadata lives on the testbed."""
 
-    pixels: jax.Array            # (N, H, W, 4) uint8 | float16
+    pixels: jax.Array            # (N, Hmax, Wmax, 4) uint8 | float16
+    resolutions: jax.Array       # (N, 2) float32 true (w, h) per image
     xforms_start: jax.Array      # (N, 3, 4)
     xforms_end: jax.Array        # (N, 3, 4)
     focal_lengths: jax.Array     # (N, 2)
@@ -104,20 +105,31 @@ def scene_config_from_dataset(ds: NerfDataset) -> NerfSceneConfig:
 
 def pack_training_data(ds: NerfDataset, key: Optional[jax.Array] = None
                        ) -> NerfTrainingData:
-    resolutions = {m.resolution for m in ds.metadata}
-    if len(resolutions) != 1:
-        raise NotImplementedError(
-            "mixed-resolution datasets not yet supported on device; "
-            "resize or split the dataset")
-    imgs = np.stack(ds.images)  # (N, H, W, 4)
+    """Pack per-image host arrays into fixed-shape device tensors.
+
+    Mixed-resolution datasets (the reference's nerf_loader is fully
+    per-image) pack as pad-to-max: pixels become (N, Hmax, Wmax, 4) and
+    `resolutions` records each image's true (w, h). All uv math is
+    resolution-relative, so the padded region is never sampled."""
+    res_list = [m.resolution for m in ds.metadata]  # (w, h) per image
+    w_max = max(r[0] for r in res_list)
+    h_max = max(r[1] for r in res_list)
+    mixed = len(set(res_list)) != 1
+
+    if not mixed:
+        imgs = np.stack(ds.images)  # (N, H, W, 4)
+    else:
+        imgs = np.zeros((len(ds.images), h_max, w_max, 4),
+                        ds.images[0].dtype)
+        for i, im in enumerate(ds.images):
+            imgs[i, :im.shape[0], :im.shape[1]] = im
 
     depths = None
     if any(d is not None for d in ds.depths):
-        h, w = imgs.shape[1:3]
-        depths = np.zeros((len(ds.images), h, w), np.float32)
+        depths = np.zeros((len(ds.images), h_max, w_max), np.float32)
         for i, d in enumerate(ds.depths):
             if d is not None:
-                depths[i] = d
+                depths[i, :d.shape[0], :d.shape[1]] = d
 
     extra = None
     if ds.n_extra_dims:
@@ -131,6 +143,7 @@ def pack_training_data(ds: NerfDataset, key: Optional[jax.Array] = None
 
     return NerfTrainingData(
         pixels=jnp.asarray(imgs),
+        resolutions=jnp.asarray(np.asarray(res_list, np.float32)),
         xforms_start=jnp.asarray(ds.xforms_start),
         xforms_end=jnp.asarray(ds.xforms_end),
         focal_lengths=jnp.asarray(

@@ -110,7 +110,7 @@ def build_rays(data: NerfTrainingData, img_idx: jax.Array, uv: jax.Array,
     ray setup; camera-gradient training chain-rules through it (the
     reference instead hand-derives dL/d(cam) in
     compute_cam_gradient_train_nerf, testbed_nerf.cu:1163-1270)."""
-    w, h = data.resolution
+    res = data.resolutions[img_idx]                        # (R, 2) (w, h)
     xform = xform_with_rolling_shutter(
         data.xforms_start[img_idx], data.xforms_end[img_idx],
         data.rolling_shutter[img_idx], uv, motionblur_time)
@@ -123,7 +123,7 @@ def build_rays(data: NerfTrainingData, img_idx: jax.Array, uv: jax.Array,
         focal = focal * (1.0 + cam["focal"][None, :])
 
     origins, dirs_un, ray_ok = uv_to_ray(
-        uv, (w, h), focal, xform, screen_center=(0.5, 0.5),
+        uv, res, focal, xform, screen_center=(0.5, 0.5),
         lens_mode=lens_mode, lens_params=data.lens_params[img_idx],
         distortion_map=distortion_map)
     dirs = dirs_un / jnp.linalg.norm(dirs_un, axis=-1, keepdims=True)
@@ -139,7 +139,6 @@ def sample_rays(key: jax.Array, data: NerfTrainingData, n_rays: int,
     sample mass stays uniform, half follows the error CDFs)."""
     k_img, k_uv, k_mb, k_mix = jax.random.split(key, 4)
     n_images = data.n_images
-    w, h = data.resolution
 
     if error_cdfs is None:
         img_idx = jax.random.randint(k_img, (n_rays,), 0, n_images)
@@ -173,7 +172,7 @@ def sample_rays(key: jax.Array, data: NerfTrainingData, n_rays: int,
         uv = jnp.where((u_mix < 0.5), u_mix * 2.0, uv_cdf)
 
     if snap_to_pixel_centers:
-        res = jnp.asarray([w, h], jnp.float32)
+        res = data.resolutions[img_idx]
         uv = (jnp.floor(uv * res) + 0.5) / res
     motionblur_time = jax.random.uniform(k_mb, (n_rays,))
     return img_idx, uv, motionblur_time
@@ -188,12 +187,11 @@ def generate_rays(key: jax.Array, data: NerfTrainingData, n_rays: int,
                   ) -> RayBatch:
     """One ray per lane from a random (image, pixel)."""
     k_pick, k_t = jax.random.split(key)
-    w, h = data.resolution
     img_idx, uv, motionblur_time = sample_rays(
         k_pick, data, n_rays, snap_to_pixel_centers, error_cdfs)
 
-    px = jnp.stack([(uv[:, 0] * w).astype(jnp.int32),
-                    (uv[:, 1] * h).astype(jnp.int32)], axis=-1)
+    res = data.resolutions[img_idx]                        # (R, 2) (w, h)
+    px = (uv * res).astype(jnp.int32)
     rgba = read_rgba(data.pixels, img_idx, px)
     valid = rgba[:, 0] >= 0.0  # hot-pink mask → skip lane
 

@@ -886,7 +886,8 @@ class NerfTestbed:
                              min_transmittance: float = 1e-4,
                              background_color=(0.0, 0.0, 0.0)) -> np.ndarray:
         """Render from a training camera (the --test_transforms eval view)."""
-        w0, h0 = self.data.resolution
+        w0, h0 = (int(v) for v in np.asarray(
+            self.data.resolutions[img_idx]))
         width = width or w0
         height = height or h0
         fl = np.asarray(self.data.focal_lengths[img_idx]) \
@@ -1001,11 +1002,12 @@ class NerfTestbed:
         sRGB space (scripts/run.py:252-268 semantics, black background)."""
         from ..common import linear_to_srgb
 
-        w0, h0 = self.data.resolution
+        w0, h0 = (int(v) for v in np.asarray(
+            self.data.resolutions[img_idx]))
         w, h = w0 // downscale, h0 // downscale
         render = self.render_training_view(img_idx, spp=spp,
                                            width=w, height=h)
-        gt_raw = np.asarray(self.data.pixels[img_idx])
+        gt_raw = np.asarray(self.data.pixels[img_idx])[:h0, :w0]
         if gt_raw.dtype == np.uint8:
             gt_srgb = gt_raw[..., :3].astype(np.float32) / 255.0
             gt_alpha = gt_raw[..., 3:4].astype(np.float32) / 255.0

@@ -275,11 +275,10 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
 
     depth_target = None
     if cfg.depth_supervision_lambda > 0 and data.depths is not None:
-        w, h = data.resolution
-        px = jnp.stack([(rays.uv[:, 0] * w).astype(jnp.int32),
-                        (rays.uv[:, 1] * h).astype(jnp.int32)], axis=-1)
-        x = jnp.clip(px[..., 0], 0, w - 1)
-        y = jnp.clip(px[..., 1], 0, h - 1)
+        res = data.resolutions[rays.img_idx]               # (R, 2) (w, h)
+        px = (rays.uv * res).astype(jnp.int32)
+        x = jnp.clip(px[..., 0], 0, data.depths.shape[2] - 1)
+        y = jnp.clip(px[..., 1], 0, data.depths.shape[1] - 1)
         depth_target = data.depths[rays.img_idx, y, x]
 
     base_exposure = data.exposures

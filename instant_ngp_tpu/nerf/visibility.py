@@ -35,9 +35,9 @@ def compute_visible_cells(data: NerfTrainingData, scene: NerfSceneConfig,
     if scene.lens_mode in (LENS_FTHETA, LENS_LATLONG, LENS_EQUIRECT):
         return jnp.ones(NERF_GRID_N_CELLS * n_cascades, bool)
 
-    w, h = data.resolution
     xforms = data.xforms_start          # (N, 3, 4)
     focal = data.focal_lengths          # (N, 2)
+    resolutions = data.resolutions      # (N, 2) per-image (w, h)
     pps = data.principal_points         # (N, 2)
     lens_params = data.lens_params      # (N, 7)
     lens_mode = scene.lens_mode
@@ -57,7 +57,7 @@ def compute_visible_cells(data: NerfTrainingData, scene: NerfSceneConfig,
                    for k in range(3)]
 
         def per_image(carry, inputs):
-            xform, fl, pp, lp = inputs
+            xform, fl, pp, lp, res = inputs
             R = xform[:3, :3]
             cam_o = xform[:3, 3]
             dx = corners[0] - cam_o[0]
@@ -78,15 +78,16 @@ def compute_visible_cells(data: NerfTrainingData, scene: NerfSceneConfig,
             elif lens_mode == LENS_OPENCV_FISHEYE:
                 du, dv = opencv_fisheye_lens_distortion_delta(lp, px, py)
                 px, py = px + du, py + dv
-            u = px * fl[0] / w + pp[0]
-            v = py * fl[1] / h + pp[1]
+            u = px * fl[0] / res[0] + pp[0]
+            v = py * fl[1] / res[1] + pp[1]
             inside = (u > 0) & (u < 1) & (v > 0) & (v < 1)
             seen = jnp.any(in_front & inside, axis=-1)
             return carry | seen, None
 
         init = jnp.zeros(flat_idx.shape[0], bool)
         seen_any, _ = jax.lax.scan(per_image, init,
-                                   (xforms, focal, pps, lens_params))
+                                   (xforms, focal, pps, lens_params,
+                                    resolutions))
         return seen_any
 
     n_total = NERF_GRID_N_CELLS * n_cascades

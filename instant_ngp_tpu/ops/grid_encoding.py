@@ -61,7 +61,7 @@ def grid_resolution(scale: float) -> int:
 class GridEncoding(Encoding):
     """Functional grid encoding. Parameters are one flat fp32 vector.
 
-    `packed` (default on, F=2 only): the forward gathers a DERIVED table
+    `packed` (default on, even F): the forward gathers a DERIVED table
     whose f32 words bit-pack both features of an entry as bf16 — ONE
     gather descriptor per (sample, level, corner) instead of one per
     feature. Measured on TPU v5e, gather/scatter cost is per-DESCRIPTOR
@@ -371,17 +371,25 @@ class GridEncoding(Encoding):
     # ---- bf16-pair packing (see class docstring) ----
 
     def pack_params(self, params: jax.Array) -> jax.Array:
-        """(total,) f32 master -> (total/2,) f32 words, each bit-packing
-        an entry's two features as bf16 (feature 0 high, 1 low).
+        """(total,) f32 master -> (total/2,) f32 words. Feature PAIR p of
+        entry e lives at word [p*n_words + e], bit-packing features 2p
+        (high) and 2p+1 (low) as bf16. Works for any even F (the
+        reference fork's NeRF config uses L=8, F=4).
 
-        Planar layout makes both feature views contiguous slices, so this
-        is pure elementwise work (no stride-2 gathers)."""
+        Planar layout makes every feature view a contiguous slice, so
+        this is pure elementwise work (no stride-2 gathers)."""
         w = self._n_words
-        f0 = params[:w].astype(jnp.bfloat16)
-        f1 = params[w:2 * w].astype(jnp.bfloat16)
-        hi = jax.lax.bitcast_convert_type(f0, jnp.uint16).astype(jnp.uint32)
-        lo = jax.lax.bitcast_convert_type(f1, jnp.uint16).astype(jnp.uint32)
-        return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+        words = []
+        for p in range(self.n_features_per_level // 2):
+            f0 = params[(2 * p) * w:(2 * p + 1) * w].astype(jnp.bfloat16)
+            f1 = params[(2 * p + 1) * w:(2 * p + 2) * w].astype(jnp.bfloat16)
+            hi = jax.lax.bitcast_convert_type(
+                f0, jnp.uint16).astype(jnp.uint32)
+            lo = jax.lax.bitcast_convert_type(
+                f1, jnp.uint16).astype(jnp.uint32)
+            words.append(
+                jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32))
+        return words[0] if len(words) == 1 else jnp.concatenate(words)
 
     @staticmethod
     def unpack_words(words: jax.Array):
@@ -406,13 +414,20 @@ class GridEncoding(Encoding):
         def fwd_impl(params, comps, max_level):
             entry, weight, _ = self._fused_parts(comps, max_level)
             packed = self.pack_params(params)
-            words = packed[entry]                            # (N, LC)
-            v0, v1 = self.unpack_words(words)
-            out = jnp.dot(v0 * weight, jnp.asarray(fc["reduce_feat"][0]),
-                          preferred_element_type=jnp.float32) \
-                + jnp.dot(v1 * weight, jnp.asarray(fc["reduce_feat"][1]),
-                          preferred_element_type=jnp.float32)
-            return out, words
+            out = None
+            words_all = []
+            for p in range(f // 2):
+                words = packed[p * self._n_words + entry]    # (N, LC)
+                words_all.append(words)
+                v0, v1 = self.unpack_words(words)
+                contrib = jnp.dot(
+                    v0 * weight, jnp.asarray(fc["reduce_feat"][2 * p]),
+                    preferred_element_type=jnp.float32) \
+                    + jnp.dot(
+                    v1 * weight, jnp.asarray(fc["reduce_feat"][2 * p + 1]),
+                    preferred_element_type=jnp.float32)
+                out = contrib if out is None else out + contrib
+            return out, tuple(words_all)
 
         @jax.custom_vjp
         def call(params, comps, max_level):
@@ -423,27 +438,32 @@ class GridEncoding(Encoding):
             return out, (params.shape[0], comps, max_level, words)
 
         def call_bwd(res, g):
-            n_params, comps, max_level, words = res
+            n_params, comps, max_level, words_all = res
             entry, weight, aux = self._fused_parts(comps, max_level,
                                                    need_grads=True)
             g = g.astype(jnp.float32)                        # (N, L*F)
-            r0 = jnp.asarray(fc["reduce_feat"][0])
-            r1 = jnp.asarray(fc["reduce_feat"][1])
-            g0 = jnp.dot(g, r0.T, preferred_element_type=jnp.float32)
-            g1 = jnp.dot(g, r1.T, preferred_element_type=jnp.float32)
 
             # table gradient: dL/dvals = g_k * weight, scatter-added at
-            # the master's per-feature planes (exact fp32)
+            # the master's per-feature planes (exact fp32); and
+            # dweight = sum_k g_k * vals_k for the input gradient
             dparams = jnp.zeros(n_params, jnp.float32)
             flat = entry.reshape(-1)
-            dparams = dparams.at[flat].add((g0 * weight).reshape(-1))
-            dparams = dparams.at[self._n_words + flat].add(
-                (g1 * weight).reshape(-1))
+            dweight = None
+            for p in range(f // 2):
+                r0 = jnp.asarray(fc["reduce_feat"][2 * p])
+                r1 = jnp.asarray(fc["reduce_feat"][2 * p + 1])
+                g0 = jnp.dot(g, r0.T, preferred_element_type=jnp.float32)
+                g1 = jnp.dot(g, r1.T, preferred_element_type=jnp.float32)
+                dparams = dparams.at[(2 * p) * self._n_words + flat].add(
+                    (g0 * weight).reshape(-1))
+                dparams = dparams.at[(2 * p + 1) * self._n_words
+                                     + flat].add((g1 * weight).reshape(-1))
+                v0, v1 = self.unpack_words(words_all[p])
+                dw = g0 * v0 + g1 * v1                       # (N, LC)
+                dweight = dw if dweight is None else dweight + dw
 
-            # input gradient: dweight = sum_k g_k * vals_k, then
+            # input gradient:
             # dx_d = sum_lc dweight * (dw_sel_d/dx_d) * prod_{j!=d} w_sel_j
-            v0, v1 = self.unpack_words(words)
-            dweight = g0 * v0 + g1 * v1                      # (N, LC)
             w_sel = aux["w_sel"]
             dcomps = []
             for k in range(d):
@@ -541,19 +561,27 @@ class GridEncoding(Encoding):
                 .astype(jnp.int32)                               # (N, L)
 
         def fwd_impl(params, comps, rng, max_level):
+            F = self.n_features_per_level
             entry = parts(comps, rng)
             packed = self.pack_params(params)
-            words = packed[entry]                                # (N, L)
-            v0, v1 = self.unpack_words(words)
+            mask = None
             if max_level is not None:
                 lvl = jnp.asarray(sc["level_of"])[None, :]
                 mask = (jnp.asarray(max_level) >= lvl).astype(jnp.float32)
-                v0 = v0 * mask
-                v1 = v1 * mask
-            out = jnp.dot(v0, jnp.asarray(sc["interleave"][0]),
-                          preferred_element_type=jnp.float32) \
-                + jnp.dot(v1, jnp.asarray(sc["interleave"][1]),
-                          preferred_element_type=jnp.float32)
+            out = None
+            for p in range(F // 2):
+                words = packed[p * self._n_words + entry]        # (N, L)
+                v0, v1 = self.unpack_words(words)
+                if mask is not None:
+                    v0 = v0 * mask
+                    v1 = v1 * mask
+                contrib = jnp.dot(
+                    v0, jnp.asarray(sc["interleave"][2 * p]),
+                    preferred_element_type=jnp.float32) \
+                    + jnp.dot(
+                    v1, jnp.asarray(sc["interleave"][2 * p + 1]),
+                    preferred_element_type=jnp.float32)
+                out = contrib if out is None else out + contrib
             return out, entry
 
         @jax.custom_vjp
@@ -565,21 +593,22 @@ class GridEncoding(Encoding):
             return out, (params.shape[0], entry, max_level, comps)
 
         def call_bwd(res, g):
+            F = self.n_features_per_level
             n_params, entry, max_level, comps = res
             g = g.astype(jnp.float32)                            # (N, L*F)
-            g0 = jnp.dot(g, jnp.asarray(sc["interleave"][0]).T,
-                         preferred_element_type=jnp.float32)
-            g1 = jnp.dot(g, jnp.asarray(sc["interleave"][1]).T,
-                         preferred_element_type=jnp.float32)
+            mask = None
             if max_level is not None:
                 lvl = jnp.asarray(sc["level_of"])[None, :]
                 mask = (jnp.asarray(max_level) >= lvl).astype(jnp.float32)
-                g0 = g0 * mask
-                g1 = g1 * mask
             dparams = jnp.zeros(n_params, jnp.float32)
             flat = entry.reshape(-1)
-            dparams = dparams.at[flat].add(g0.reshape(-1))
-            dparams = dparams.at[self._n_words + flat].add(g1.reshape(-1))
+            for k in range(F):
+                gk = jnp.dot(g, jnp.asarray(sc["interleave"][k]).T,
+                             preferred_element_type=jnp.float32)
+                if mask is not None:
+                    gk = gk * mask
+                dparams = dparams.at[k * self._n_words + flat].add(
+                    gk.reshape(-1))
             dcomps = tuple(jnp.zeros_like(c) for c in comps)
             dml = None if max_level is None else jnp.zeros_like(max_level)
             return dparams, dcomps, None, dml
@@ -598,17 +627,18 @@ class GridEncoding(Encoding):
         128-lane width) instead of 3, which would tile-pad 42x.
 
         `rng`: when given (training only), use the stochastic-corner
-        estimator — one gather per (sample, level) instead of 2^d — see
-        _build_stochastic_call. Requires packed F=2 mode."""
+        estimator — one gather per (sample, level, feature-pair) instead
+        of per corner — see _build_stochastic_call. Requires packed mode
+        (even F)."""
         f = self.n_features_per_level
-        if rng is not None and self.packed and f == 2:
+        if rng is not None and self.packed and f % 2 == 0:
             if getattr(self, "_stoch_call", None) is None:
                 self._stoch_call = self._build_stochastic_call()
             ml = None if max_level is None \
                 else jnp.asarray(max_level, jnp.float32)
             out = self._stoch_call(params, tuple(comps), rng, ml)
             return out.astype(self.dtype)
-        if self.packed and f == 2:
+        if self.packed and f % 2 == 0:
             if getattr(self, "_packed_call", None) is None:
                 self._packed_call = self._build_packed_call()
             ml = None if max_level is None \

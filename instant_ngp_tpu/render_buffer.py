@@ -120,3 +120,48 @@ class RenderBuffer:
     def overlay_depth(self, scale: float = 1.0) -> np.ndarray:
         v = np.clip(self.depth * scale, 0, 1)
         return np.stack([v, v, v, np.ones_like(v)], -1)
+
+
+class DynamicResolution:
+    """Render-resolution controller (testbed.cu:2884-2924).
+
+    Scales the render resolution so the measured render time tracks a
+    target frame rate: factor = sqrt(pixel_ratio / render_ms * 1000 /
+    target_fps), clamped to [1/16, 1], with the reference's hysteresis
+    (only apply a change when the linear resolution ratio leaves
+    [0.8, 1.2], or when back at full res). Feed it the EMA-smoothed
+    render time of the last frame; it returns the (w, h) to render next.
+    """
+
+    def __init__(self, full_resolution: Tuple[int, int],
+                 target_fps: float = 30.0, enabled: bool = True,
+                 fixed_res_factor: int = 8):
+        self.full_resolution = tuple(full_resolution)
+        self.target_fps = float(target_fps)
+        self.enabled = enabled
+        self.fixed_res_factor = fixed_res_factor  # 8/factor when disabled
+        self._res = (max(full_resolution[0] // 16, 1),
+                     max(full_resolution[1] // 16, 1))  # warmup: 1/256 px
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        return self._res
+
+    def update(self, render_ms: Optional[float]) -> Tuple[int, int]:
+        fw, fh = self.full_resolution
+        n_pixels = self._res[0] * self._res[1]
+        pixel_ratio = (1.0 / 256.0 if not render_ms or n_pixels == 0
+                       else n_pixels / float(fw * fh))
+        if self.enabled and render_ms:
+            factor = float(np.sqrt(
+                pixel_ratio / render_ms * 1000.0 / self.target_fps))
+        else:
+            factor = 8.0 / max(self.fixed_res_factor, 1)
+        factor = float(np.clip(factor, 1.0 / 16.0, 1.0))
+
+        new_res = (int(np.clip(fw * factor, fw // 16, fw)),
+                   int(np.clip(fh * factor, fh // 16, fh)))
+        ratio = np.sqrt(n_pixels / max(new_res[0] * new_res[1], 1))
+        if ratio > 1.2 or ratio < 0.8 or factor == 1.0 or not self.enabled:
+            self._res = new_res
+        return self._res

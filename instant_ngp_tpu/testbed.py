@@ -156,13 +156,37 @@ class Testbed:
         return self.impl.loss_scalar if self.impl else float("nan")
 
     def frame(self) -> bool:
-        """Headless heartbeat: one training step when training is on
-        (reference frame() interleaves train+render; offline we train)."""
+        """Headless heartbeat: one training step when training is on, and
+        — when `shall_render` is set — one rendered frame at a resolution
+        chosen by the dynamic-resolution controller (reference frame()
+        interleaves train+render with the render-time-EMA-driven resize,
+        testbed.cu:2884-2924). The latest frame lands in `last_frame`."""
         if self.impl is None:
             return False
         if self.shall_train:
             self.train(1)
+        if getattr(self, "shall_render", False):
+            import time as _time
+
+            from .render_buffer import DynamicResolution
+            from .utils import Ema
+
+            if getattr(self, "_dynres", None) is None:
+                self._dynres = DynamicResolution(
+                    self.full_resolution, self.dynamic_res_target_fps)
+                self._render_ms = Ema(half_life_s=1.0)
+            w, h = self._dynres.update(self._render_ms.value)
+            t0 = _time.perf_counter()
+            self.last_frame = self.render(w, h)
+            self._render_ms.update((_time.perf_counter() - t0) * 1e3)
         return True
+
+    # dynamic-resolution render heartbeat knobs (m_dynamic_res /
+    # m_dynamic_res_target_fps defaults, testbed.h)
+    shall_render = False
+    full_resolution = (1920, 1080)
+    dynamic_res_target_fps = 30.0
+    last_frame = None
 
     def train(self, n_steps: int = 1) -> float:
         if self.mode == TestbedMode.Nerf:

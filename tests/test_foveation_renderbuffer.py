@@ -87,3 +87,36 @@ def test_ema_and_timers():
     with t.time("phase"):
         pass
     assert t.ms("phase") >= 0.0
+
+
+def test_dynamic_resolution_controller():
+    """Controller tracks the frame budget (testbed.cu:2884-2924): slow
+    renders shrink resolution, fast renders grow it back to full, with
+    the reference's [0.8, 1.2] hysteresis band and [1/16, 1] clamp."""
+    from instant_ngp_tpu.render_buffer import DynamicResolution
+
+    dr = DynamicResolution((1600, 900), target_fps=30.0)
+    assert dr.resolution == (100, 56)  # 1/16 warmup
+
+    # consistently fast renders -> grows to full resolution
+    for _ in range(20):
+        w, h = dr.update(render_ms=1.0)
+    assert (w, h) == (1600, 900)
+
+    # consistently slow renders -> shrinks, never below 1/16
+    for _ in range(20):
+        w, h = dr.update(render_ms=10000.0)
+    assert (w, h) == (100, 56)
+    assert w >= 1600 // 16 and h >= 900 // 16
+
+    # hysteresis: small perturbation around steady state doesn't resize
+    dr2 = DynamicResolution((1600, 900), target_fps=30.0)
+    for _ in range(20):
+        dr2.update(render_ms=120.0)
+    steady = dr2.resolution
+    r = dr2.update(render_ms=130.0)
+    assert r == steady
+
+    # disabled -> fixed factor
+    dr3 = DynamicResolution((1600, 900), enabled=False, fixed_res_factor=16)
+    assert dr3.update(render_ms=5.0) == (800, 450)

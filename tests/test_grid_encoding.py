@@ -236,3 +236,57 @@ def test_stochastic_corner_max_level_masks():
         rng=jax.random.PRNGKey(2)))
     assert np.abs(out[:, :4]).max() > 0
     np.testing.assert_allclose(out[:, 4:], 0.0)
+
+
+def test_f4_packed_matches_per_level_loop():
+    """The reference fork's NeRF config uses L=8, F=4 — the packed and
+    stochastic fast paths must cover it (they fell back to the slow
+    unpacked path before, 587 ms vs 34 ms per 262K-sample call on TPU)."""
+    enc = GridEncoding(n_dims=3, n_levels=4, n_features_per_level=4,
+                       log2_hashmap_size=9, base_resolution=4,
+                       per_level_scale=1.7)
+    ref = GridEncoding(n_dims=3, n_levels=4, n_features_per_level=4,
+                       log2_hashmap_size=9, base_resolution=4,
+                       per_level_scale=1.7, packed=False)
+    ref.fused = False
+    params = jax.random.normal(jax.random.PRNGKey(0),
+                               (enc.n_params,)) * 0.3
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+    comps = tuple(x[:, k] for k in range(3))
+    out = np.asarray(enc.apply_components(params, comps))
+    loop = np.asarray(ref.apply(params, x))
+    scale = np.abs(loop).max()
+    np.testing.assert_allclose(out, loop, atol=scale * 8e-3)
+
+    # gradients agree (bf16 fwd tolerance; fp32-exact scatter)
+    g1 = jax.grad(lambda p: jnp.sum(
+        enc.apply_components(p, comps).astype(jnp.float32) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(
+        ref.apply(p, x).astype(jnp.float32) ** 2))(params)
+    gs = float(np.abs(np.asarray(g2)).max())
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=gs * 2e-2)
+
+
+def test_f4_stochastic_unbiased():
+    enc = GridEncoding(n_dims=3, n_levels=4, n_features_per_level=4,
+                       log2_hashmap_size=8, base_resolution=4,
+                       per_level_scale=1.5)
+    params = jax.random.normal(jax.random.PRNGKey(0),
+                               (enc.n_params,)) * 0.3
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3),
+                           minval=0.05, maxval=0.95)
+    comps = tuple(x[:, k] for k in range(3))
+    exact = np.asarray(enc.apply_components(params, comps))
+
+    @jax.jit
+    def stoch(rng):
+        return enc.apply_components(params, comps, rng=rng)
+
+    reps = 2000
+    keys = jax.random.split(jax.random.PRNGKey(2), reps)
+    acc = np.zeros_like(exact)
+    for i in range(0, reps, 500):
+        acc += np.asarray(jnp.sum(jax.vmap(stoch)(keys[i:i + 500]), 0))
+    scale = np.abs(exact).max()
+    np.testing.assert_allclose(acc / reps, exact, atol=scale * 0.1)

@@ -266,3 +266,39 @@ def test_distortion_mode_visualizes_lens():
         16, 16, fl, cam, lens_mode=lens_mode_id("OpenCV"),
         lens_params=params))
     assert warped[..., :3].max() > 0.01
+
+
+def test_mixed_resolution_dataset_trains_and_evals():
+    """Mixed-res datasets pack pad-to-max with per-image true
+    resolutions (the reference's loader is fully per-image; our round-1
+    limitation removed). Training and eval must work end to end."""
+    ds = make_dataset(n_cams=4, size=32)
+    # resize two cameras' images to a different resolution (48x24):
+    # nearest-neighbor stretch keeps content but changes (w, h)
+    for i in (1, 3):
+        img = ds.images[i]
+        yy = (np.arange(24) * img.shape[0] // 24)
+        xx = (np.arange(48) * img.shape[1] // 48)
+        ds.images[i] = img[yy][:, xx]
+        m = ds.metadata[i]
+        ds.metadata[i] = FrameMetadata(
+            (48, 24), np.array([60.0, 30.0], np.float32),
+            m.principal_point, m.rolling_shutter, m.lens)
+
+    tb = NerfTestbed(ds, CFG, compute_dtype=jnp.float32)
+    tb.target_batch_size = 1 << 12
+    tb.rays_per_batch = 256
+    tb.n_march = 96
+    tb.max_samples_per_ray = 32
+    tb.density_samples_override = 1 << 12
+    assert tb.data.pixels.shape[1:3] == (32, 48)  # (Hmax, Wmax)
+    np.testing.assert_array_equal(
+        np.asarray(tb.data.resolutions),
+        [[32, 32], [48, 24], [32, 32], [48, 24]])
+    loss = tb.train(3)
+    assert np.isfinite(loss)
+    # per-view eval renders at each image's true resolution
+    img = tb.render_training_view(1, spp=1)
+    assert img.shape == (24, 48, 4)
+    p = tb.eval_psnr(1)
+    assert np.isfinite(p)
