@@ -34,29 +34,35 @@ def bench_nerf(queue):
     ds = load_nerf(FOX)
     cfg = load_network_config(find_network_config("base.json", mode="nerf"))
     tb = NerfTestbed(ds, cfg)
-    # pin the ray bucket near the steady state so the whole bench uses ONE
-    # compiled train program (tunnel compiles cost minutes). NOTE: the
-    # scanned multi-step path (steps_per_dispatch>1) is bit-exact on CPU
-    # but crashes the TPU worker (Mosaic fault with the nested-scan train
-    # body, 2026-08); the eager path is compute-bound anyway (async
-    # dispatch hides tunnel latency).
+    # pin the ray bucket at the fox steady state (2^11 rays x ~128
+    # samples/ray fills the 2^18 target batch) so the whole bench uses
+    # ONE compiled train program — tunnel compiles cost minutes, and the
+    # adaptive controller would land on the same power-of-two bucket.
+    # Eager path: JAX async dispatch pipelines the 16-step sync cadence,
+    # so per-dispatch tunnel latency (~1 ms amortized) is hidden.
     tb.rays_per_batch = 1 << 11
     tb.adapt_ray_batch = False
     tb.train(1)            # compiles
-    tb.train(16)           # warm
+    tb.train(17)           # warm incl. a prep-boundary block
     t0 = time.perf_counter()
     n = 64
     tb.train(n)
     dt = time.perf_counter() - t0
     samples_per_s = n * tb.measured_batch_size / dt
+    perf = tb.performance_stats()
     queue.put({
         "metric": "nerf_train_samples_per_s",
         "value": round(samples_per_s, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
         "detail": {"steps_per_s": round(n / dt, 3),
+                   "rays_per_s_chip": round(n * (1 << 11) / dt, 1),
+                   "mean_samples_per_ray": round(
+                       perf.get("mean_samples_per_ray", 0.0), 2),
                    "loss": round(tb.loss_scalar, 5),
-                   "measured_batch": int(tb.measured_batch_size)},
+                   "measured_batch": int(tb.measured_batch_size),
+                   "stochastic_corners": tb.stochastic_corners,
+                   "phase_ms": perf.get("phase_ms")},
     })
 
 

@@ -255,7 +255,7 @@ class NerfTestbed:
         has_error_map = self._error_map is not None
         key = ("scan", n_rays, max_k, n_scan, prep_mode,
                self._error_cdfs is not None, self._error_map_res,
-               has_error_map)
+               has_error_map, self.stochastic_corners)
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)
             aabb_min = jnp.asarray(self.scene.aabb_min)
@@ -328,10 +328,12 @@ class NerfTestbed:
         density_activation = self.scene.density_activation
         span = aabb_max - aabb_min
 
+        stoch = getattr(self, "stochastic_corners", False)
+
         def evaluate(params, density_grid, rng, decay):
             from .model import network_to_density
 
-            k_cells, k_pos = jax.random.split(rng)
+            k_cells, k_pos, k_enc = jax.random.split(rng, 3)
             idx = sample_cells(k_cells, density_grid, 0, n_uniform,
                                n_nonuniform, n_cascades)
             comps = cell_positions(idx, k_pos)
@@ -345,8 +347,17 @@ class NerfTestbed:
                 jnp.pad(c, (0, pad)).reshape(n_chunks, chunk)
                 for c in warped])
 
+            # stochastic-corner encode: the EMA-max grid update already
+            # samples ONE random position per cell (the reference does
+            # the same, update_density_grid_nerf :2271), so corner noise
+            # adds to existing sampling noise; 2^d fewer descriptors
+            # turns the 3.9 s full prep into ~0.6 s on TPU
             def density_chunk(cols):
-                if hasattr(model.pos_encoding, "apply_components"):
+                if stoch and hasattr(model.pos_encoding, "pack_params"):
+                    feats = model.pos_encoding.apply_components(
+                        params["pos_encoding"],
+                        [cols[0], cols[1], cols[2]], rng=k_enc)
+                elif hasattr(model.pos_encoding, "apply_components"):
                     feats = model.pos_encoding.apply_components(
                         params["pos_encoding"], [cols[0], cols[1],
                                                  cols[2]])
@@ -419,7 +430,7 @@ class NerfTestbed:
     # density grid maintenance (training_prep_nerf)
     # ------------------------------------------------------------------
     def _get_density_fn(self, n_uniform: int, n_nonuniform: int):
-        key = (n_uniform, n_nonuniform)
+        key = (n_uniform, n_nonuniform, self.stochastic_corners)
         if key not in self._density_fns:
             self._density_fns[key] = jax.jit(
                 self._density_update_body(n_uniform, n_nonuniform))

@@ -155,6 +155,15 @@ class Testbed:
     def loss(self) -> float:
         return self.impl.loss_scalar if self.impl else float("nan")
 
+    def train_stats(self) -> dict:
+        """Throughput/observability counters (the reference GUI's
+        rays/s, samples/s, steps-per-ray and per-phase ms meters —
+        testbed.h:936-940 Ema timers + derived counters; SURVEY.md §5)."""
+        if self.impl is not None and hasattr(self.impl,
+                                             "performance_stats"):
+            return self.impl.performance_stats()
+        return {}
+
     def frame(self) -> bool:
         """Headless heartbeat: one training step when training is on, and
         — when `shall_render` is set — one rendered frame at a resolution
