@@ -78,7 +78,7 @@ def make_sharded_density_update(testbed, mesh: Mesh, axis: str = "data",
     n_dev = mesh.shape[axis]
     n_uni = -(-n_uniform // n_dev)
     n_non = -(-n_nonuniform // n_dev)
-    body = testbed._density_update_body(n_uni, n_non, shard_of=n_dev)
+    body = testbed._density_update_body(n_uni, n_non, evaluate_only=True)
 
     def local_update(params, density_grid, rngs, decay):
         rng = jax.random.fold_in(rngs[0], jax.lax.axis_index(axis))

@@ -37,12 +37,23 @@ class NerfTestbed:
     mode = TestbedMode.Nerf
 
     def __init__(self, dataset, network_config: Dict[str, Any],
-                 seed: int = 1337, compute_dtype=jnp.bfloat16):
+                 seed: int = 1337, compute_dtype=jnp.bfloat16,
+                 mesh=None, mesh_axis: str = "data"):
+        """mesh: optional jax.sharding.Mesh — when given, the SAME
+        training loop runs data-parallel: rays shard over `mesh_axis`,
+        params replicate, gradients/stats all-reduce over ICI
+        (nerf/parallel.py wraps the identical nerf_train_step; host
+        cadence — prep every 16, adaptive rays, camera/exposure host
+        Adam, error-map CDFs — is shared, not forked)."""
         from ..data.nerf_loader import NerfDataset
 
         assert isinstance(dataset, NerfDataset)
         self.dataset = dataset
         self.config = network_config
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self._n_shards = int(mesh.shape[mesh_axis]) if mesh is not None \
+            else 1
         self.scene: NerfSceneConfig = scene_config_from_dataset(dataset)
         self.data: NerfTrainingData = pack_training_data(dataset)
 
@@ -88,7 +99,11 @@ class NerfTestbed:
         # samples per ray at NERF_STEPS=1024; unit-cube (cone 0) scenes
         # genuinely need hundreds of samples to cross an object, and a
         # low cap truncates rays mid-scene (-> fog artifacts).
-        self.n_march = 1024
+        # n_march is auto-tightened to the scene's true worst-case
+        # stepping span (every candidate costs a bitfield gather + a
+        # lane in the march/compact/composite planes — measured
+        # descriptor-bound on TPU, so candidate count is ~linear cost).
+        self.n_march = self._derive_n_march()
         self.max_samples_per_ray = 1024
         # generation capacity = multiplier * target batch (the reference
         # sizes its uncompacted buffers at 16x target, testbed_nerf.cu:2685,
@@ -122,10 +137,15 @@ class NerfTestbed:
         self.warmup_full_grid_preps = 4
 
         # >1 fuses K (train + density-update) iterations into ONE jitted
-        # lax.scan program: through the tunneled TPU backend each
-        # dispatch costs ~0.5-2 s of latency, so K=16 cuts the per-step
-        # round trips ~32x. Auto-disabled while camera/exposure/envmap/
-        # distortion optimization needs per-step host gradients.
+        # lax.scan program. Measured on TPU v5e (2026-08, post
+        # candidate-march redesign): the scanned block RUNS (the round-1
+        # Mosaic fault is gone) but is ~4x slower than the eager path
+        # (0.94 vs 4.18 steps/s) and compiles for ~10 min through the
+        # tunnel — lax.scan blocks XLA's cross-step overlap and buffer
+        # donation. The eager path with the 16-step stat-sync cadence
+        # already pipelines dispatches (~1 ms amortized overhead), so
+        # keep K=1 on TPU; the scanned path remains for CPU parity tests
+        # and environments with pathological per-dispatch latency.
         self.steps_per_dispatch = 1
 
         # camera optimization (nerf.h:88-110 defaults)
@@ -198,12 +218,14 @@ class NerfTestbed:
 
     # ------------------------------------------------------------------
     def _train_cfg(self, n_rays: int, max_k: int) -> NerfTrainStepConfig:
+        """n_rays is PER-CHIP; capacity splits the global target batch
+        across shards so the effective batch stays 2^18 total."""
         return NerfTrainStepConfig(
             n_rays=n_rays,
             n_march=self.n_march,
             max_samples_per_ray=max_k,
             sample_capacity=self.target_batch_size
-            * self.sample_capacity_multiplier,
+            * self.sample_capacity_multiplier // self._n_shards,
             lens_mode=self.scene.lens_mode,
             cone_angle=self.scene.cone_angle_constant,
             max_mip=self.scene.max_cascade,
@@ -229,6 +251,14 @@ class NerfTestbed:
             cfg = self._train_cfg(n_rays, max_k)
             aabb_min = jnp.asarray(self.scene.aabb_min)
             aabb_max = jnp.asarray(self.scene.aabb_max)
+
+            if self.mesh is not None:
+                from .parallel import make_sharded_train_step
+
+                self._train_fns[key] = make_sharded_train_step(
+                    self.model, self.optimizer, cfg, aabb_min, aabb_max,
+                    self.mesh, axis=self.mesh_axis)
+                return self._train_fns[key]
 
             def step(state, data, bitfield, mean_density, rng, cam,
                      error_cdfs, error_map, envmap, distortion):
@@ -315,11 +345,11 @@ class NerfTestbed:
         return self._train_fns[key]
 
     def _density_update_body(self, n_uniform: int, n_nonuniform: int,
-                             shard_of: int = 1):
+                             evaluate_only: bool = False):
         """The pure per-step density-grid update (shared by the eager
-        path, the scanned block, and — with shard_of > 1, which returns
+        path, the scanned block, and — with evaluate_only, which returns
         the (idx, dens) evaluation half only — the sharded loop in
-        nerf/parallel.py)."""
+        nerf/parallel.py, whatever the mesh size)."""
         n_cascades = self.scene.max_cascade + 1
         aabb_min = jnp.asarray(self.scene.aabb_min)
         aabb_max = jnp.asarray(self.scene.aabb_max)
@@ -374,7 +404,7 @@ class NerfTestbed:
             dens = network_to_density(raw, density_activation)
             return idx, dens
 
-        if shard_of > 1:
+        if evaluate_only:
             return evaluate
 
         def update(params, density_grid, rng, decay):
@@ -430,10 +460,18 @@ class NerfTestbed:
     # density grid maintenance (training_prep_nerf)
     # ------------------------------------------------------------------
     def _get_density_fn(self, n_uniform: int, n_nonuniform: int):
-        key = (n_uniform, n_nonuniform, self.stochastic_corners)
+        key = (n_uniform, n_nonuniform, self.stochastic_corners,
+               self.mesh is not None)
         if key not in self._density_fns:
-            self._density_fns[key] = jax.jit(
-                self._density_update_body(n_uniform, n_nonuniform))
+            if self.mesh is not None:
+                from .parallel import make_sharded_density_update
+
+                self._density_fns[key] = make_sharded_density_update(
+                    self, self.mesh, axis=self.mesh_axis,
+                    n_uniform=n_uniform, n_nonuniform=n_nonuniform)
+            else:
+                self._density_fns[key] = jax.jit(
+                    self._density_update_body(n_uniform, n_nonuniform))
         return self._density_fns[key]
 
     def training_prep(self, decay: float = 0.95) -> None:
@@ -452,13 +490,17 @@ class NerfTestbed:
         full_sweep = self.training_step < self.warmup_full_grid_preps
         if self.density_samples_override is not None:
             n = self.density_samples_override
-            fn = self._get_density_fn(n, 0 if full_sweep else n)
+            counts = (n, 0 if full_sweep else n)
         elif full_sweep:
-            fn = self._get_density_fn(n_cells, 0)
+            counts = (n_cells, 0)
         else:
-            fn = self._get_density_fn(n_cells // 4, n_cells // 4)
+            counts = (n_cells // 4, n_cells // 4)
+        fn = self._get_density_fn(*counts)
         rng = jax.random.fold_in(
             jax.random.PRNGKey(self.seed ^ 0xD3), self.density_grid_ema_step)
+        if self.mesh is not None:
+            rng = jnp.stack([jax.random.fold_in(rng, c)
+                             for c in range(self._n_shards)])
         params = self.optimizer.inference_params(self.state["opt"],
                                                  self.state["params"])
         self.density_grid, self.bitfield, self.mean_density = fn(
@@ -566,7 +608,7 @@ class NerfTestbed:
                       or self.optimize_focal_length or self.train_envmap
                       or self.optimize_distortion)
         K = self.steps_per_dispatch
-        if K > 1 and not aux_active:
+        if K > 1 and not aux_active and self.mesh is None:
             done = 0
             while done < n_steps:
                 # unified prep schedule (same as the eager path): full
@@ -608,11 +650,15 @@ class NerfTestbed:
                 with self.timers.time("training_prep"):
                     self.training_prep()
             self._maybe_init_error_map()
-            n_rays = self._bucket(self.rays_per_batch)
-            max_k = self._bucket_k(n_rays)
+            # per-chip ray bucket; the effective batch is n_rays * shards
+            n_rays = self._bucket(self.rays_per_batch // self._n_shards)
+            max_k = self._bucket_k(n_rays * self._n_shards)
             fn = self._get_train_fn(n_rays, max_k)
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                      self.training_step)
+            if self.mesh is not None:
+                rng = jnp.stack([jax.random.fold_in(rng, c)
+                                 for c in range(self._n_shards)])
             self.state, stats = fn(
                 self.state, self.data, self.bitfield, self.mean_density,
                 rng, self._cam_dict(), self._error_cdfs, self._error_map,
@@ -719,6 +765,45 @@ class NerfTestbed:
             "rays_per_batch": self.rays_per_batch,
             "phase_ms": self.timers.summary(),
         }
+
+    def _derive_n_march(self) -> int:
+        """Worst-case per-ray candidate count for THIS scene's cameras.
+
+        The march examines candidates k in [0, n_march) relative to each
+        ray's own aabb-entry stepping index s0, so the needed depth is
+        max over rays of s(t_exit) - s(t_enter) — typically far below
+        the 1024 global cap when cameras sit outside the volume (fox:
+        ~500). Sampled over a sparse pixel grid of every camera with a
+        10% + 32-step margin, rounded up to a power of two."""
+        from .march import ray_intersect_aabb, to_stepping_space
+        from .sampler import build_rays
+
+        cone = self.scene.cone_angle_constant
+        n_img = self.data.n_images
+        lin = jnp.linspace(0.02, 0.98, 8)
+        uv1 = jnp.stack(jnp.meshgrid(lin, lin, indexing="xy"),
+                        -1).reshape(-1, 2)                    # (64, 2)
+        uv = jnp.tile(uv1, (n_img, 1))
+        idx = jnp.repeat(jnp.arange(n_img), uv1.shape[0])
+        try:
+            o, d, ok = build_rays(self.data, idx, uv,
+                                  jnp.zeros(idx.shape[0]),
+                                  self.scene.lens_mode)
+            lo = jnp.asarray(self.scene.aabb_min)
+            hi = jnp.asarray(self.scene.aabb_max)
+            tmin, tmax = ray_intersect_aabb(o, d, lo, hi)
+            tmin = jnp.maximum(tmin, 0.0)
+            span = jnp.where(ok & (tmax > tmin),
+                             to_stepping_space(tmax, cone)
+                             - to_stepping_space(tmin, cone), 0.0)
+            worst = float(jnp.max(span))
+        except Exception:
+            worst = 1024.0
+        need = int(worst * 1.1) + 32
+        m = 128
+        while m < need and m < 1024:
+            m *= 2
+        return m
 
     @staticmethod
     def _bucket(n: int) -> int:
