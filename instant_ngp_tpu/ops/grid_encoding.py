@@ -81,6 +81,12 @@ class GridEncoding(Encoding):
     interpolation: str = "Linear"     # Linear | Smoothstep | Nearest
     dtype: Any = jnp.float32
     packed: bool = True
+    # complex64 scatter-add for the table gradient: feature pair
+    # (2p, 2p+1) accumulates as ONE complex element (real/imag are two
+    # exact f32 adds), halving backward scatter DESCRIPTORS — the unit
+    # of gather/scatter cost on TPU v5e (see module docstring). Exact:
+    # bit-identical sums per component. Flipped on after TPU validation.
+    complex_grads: bool = False
 
     def __post_init__(self):
         assert self.n_dims in (2, 3), "grid encoding supports 2D and 3D inputs"
@@ -446,21 +452,38 @@ class GridEncoding(Encoding):
             # table gradient: dL/dvals = g_k * weight, scatter-added at
             # the master's per-feature planes (exact fp32); and
             # dweight = sum_k g_k * vals_k for the input gradient
-            dparams = jnp.zeros(n_params, jnp.float32)
             flat = entry.reshape(-1)
             dweight = None
+            if self.complex_grads:
+                # one c64 scatter per feature PAIR: real/imag carry the
+                # two planes' f32 adds — half the descriptors
+                dpc = jnp.zeros((f // 2) * self._n_words, jnp.complex64)
+            else:
+                dparams = jnp.zeros(n_params, jnp.float32)
             for p in range(f // 2):
                 r0 = jnp.asarray(fc["reduce_feat"][2 * p])
                 r1 = jnp.asarray(fc["reduce_feat"][2 * p + 1])
                 g0 = jnp.dot(g, r0.T, preferred_element_type=jnp.float32)
                 g1 = jnp.dot(g, r1.T, preferred_element_type=jnp.float32)
-                dparams = dparams.at[(2 * p) * self._n_words + flat].add(
-                    (g0 * weight).reshape(-1))
-                dparams = dparams.at[(2 * p + 1) * self._n_words
-                                     + flat].add((g1 * weight).reshape(-1))
+                if self.complex_grads:
+                    dpc = dpc.at[p * self._n_words + flat].add(
+                        jax.lax.complex((g0 * weight).reshape(-1),
+                                        (g1 * weight).reshape(-1)))
+                else:
+                    dparams = dparams.at[(2 * p) * self._n_words
+                                         + flat].add(
+                        (g0 * weight).reshape(-1))
+                    dparams = dparams.at[(2 * p + 1) * self._n_words
+                                         + flat].add(
+                        (g1 * weight).reshape(-1))
                 v0, v1 = self.unpack_words(words_all[p])
                 dw = g0 * v0 + g1 * v1                       # (N, LC)
                 dweight = dw if dweight is None else dweight + dw
+            if self.complex_grads:
+                # pair p real -> plane 2p, imag -> plane 2p+1 (planar)
+                dpc = dpc.reshape(f // 2, self._n_words)
+                dparams = jnp.stack([dpc.real, dpc.imag],
+                                    axis=1).reshape(-1)
 
             # input gradient:
             # dx_d = sum_lc dweight * (dw_sel_d/dx_d) * prod_{j!=d} w_sel_j
@@ -600,15 +623,27 @@ class GridEncoding(Encoding):
             if max_level is not None:
                 lvl = jnp.asarray(sc["level_of"])[None, :]
                 mask = (jnp.asarray(max_level) >= lvl).astype(jnp.float32)
-            dparams = jnp.zeros(n_params, jnp.float32)
             flat = entry.reshape(-1)
+            gks = []
             for k in range(F):
                 gk = jnp.dot(g, jnp.asarray(sc["interleave"][k]).T,
                              preferred_element_type=jnp.float32)
                 if mask is not None:
                     gk = gk * mask
-                dparams = dparams.at[k * self._n_words + flat].add(
-                    gk.reshape(-1))
+                gks.append(gk.reshape(-1))
+            if self.complex_grads:
+                dpc = jnp.zeros((F // 2) * self._n_words, jnp.complex64)
+                for p in range(F // 2):
+                    dpc = dpc.at[p * self._n_words + flat].add(
+                        jax.lax.complex(gks[2 * p], gks[2 * p + 1]))
+                dpc = dpc.reshape(F // 2, self._n_words)
+                dparams = jnp.stack([dpc.real, dpc.imag],
+                                    axis=1).reshape(-1)
+            else:
+                dparams = jnp.zeros(n_params, jnp.float32)
+                for k in range(F):
+                    dparams = dparams.at[k * self._n_words + flat].add(
+                        gks[k])
             dcomps = tuple(jnp.zeros_like(c) for c in comps)
             dml = None if max_level is None else jnp.zeros_like(max_level)
             return dparams, dcomps, None, dml

@@ -290,3 +290,33 @@ def test_f4_stochastic_unbiased():
         acc += np.asarray(jnp.sum(jax.vmap(stoch)(keys[i:i + 500]), 0))
     scale = np.abs(exact).max()
     np.testing.assert_allclose(acc / reps, exact, atol=scale * 0.1)
+
+
+def test_complex_grads_bit_exact():
+    """complex64 pair-scatter backward (one descriptor per feature PAIR)
+    must be bit-identical to the plain per-plane f32 scatter-add, for
+    both the packed-exact and stochastic paths, F=2 and F=4."""
+    import dataclasses
+
+    for F in (2, 4):
+        enc = GridEncoding(n_dims=3, n_levels=6, n_features_per_level=F,
+                           log2_hashmap_size=12, base_resolution=4,
+                           per_level_scale=1.7, complex_grads=True)
+        ref = dataclasses.replace(enc, complex_grads=False)
+        k = jax.random.PRNGKey(0)
+        params = enc.init(k)
+        x = jax.random.uniform(jax.random.fold_in(k, 1), (512, 3))
+
+        def table_grad(e, rng=None):
+            def f(p):
+                if rng is None:
+                    out = e.apply(p, x)
+                else:
+                    out = e.apply_components(
+                        p, [x[:, i] for i in range(3)], rng=rng)
+                return jnp.sum(jnp.sin(out * 3.0))
+            return jax.grad(f)(params)
+
+        assert jnp.array_equal(table_grad(enc), table_grad(ref))
+        srng = jax.random.PRNGKey(7)
+        assert jnp.array_equal(table_grad(enc, srng), table_grad(ref, srng))
