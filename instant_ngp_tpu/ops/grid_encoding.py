@@ -87,6 +87,12 @@ class GridEncoding(Encoding):
     # of gather/scatter cost on TPU v5e (see module docstring). Exact:
     # bit-identical sums per component. Flipped on after TPU validation.
     complex_grads: bool = False
+    # complex64 packed TABLE for F % 4 == 0: the real word bit-packs
+    # features (4q, 4q+1) as bf16, the imag word (4q+2, 4q+3) — ONE
+    # forward gather descriptor per (sample, level[, corner]) and
+    # feature QUAD instead of per pair. Same bf16 forward precision as
+    # `packed`. Flipped on after TPU validation.
+    complex_table: bool = False
 
     def __post_init__(self):
         assert self.n_dims in (2, 3), "grid encoding supports 2D and 3D inputs"
@@ -397,6 +403,36 @@ class GridEncoding(Encoding):
                 jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32))
         return words[0] if len(words) == 1 else jnp.concatenate(words)
 
+    def pack_params_c64(self, params: jax.Array) -> jax.Array:
+        """(total,) f32 master -> (total/4,) c64 words for F % 4 == 0:
+        quad q of entry e lives at [q*n_words + e]; real bit-packs
+        features (4q, 4q+1) as bf16, imag (4q+2, 4q+3)."""
+        w = self.pack_params(params)
+        nw = self._n_words
+        quads = []
+        for q in range(self.n_features_per_level // 4):
+            re = w[(2 * q) * nw:(2 * q + 1) * nw]
+            im = w[(2 * q + 1) * nw:(2 * q + 2) * nw]
+            quads.append(jax.lax.complex(re, im))
+        return quads[0] if len(quads) == 1 else jnp.concatenate(quads)
+
+    def _gather_pair_words(self, params: jax.Array, entry: jax.Array):
+        """Gather the packed bf16-pair words of every feature pair at
+        `entry`: returns a list of F//2 arrays shaped like entry. With
+        complex_table (F % 4 == 0), one c64 descriptor fetches TWO pair
+        words (real/imag) — half the forward descriptors."""
+        f = self.n_features_per_level
+        if self.complex_table and f % 4 == 0:
+            packed_c = self.pack_params_c64(params)
+            words = []
+            for q in range(f // 4):
+                wc = packed_c[q * self._n_words + entry]
+                words.append(jnp.real(wc))
+                words.append(jnp.imag(wc))
+            return words
+        packed = self.pack_params(params)
+        return [packed[p * self._n_words + entry] for p in range(f // 2)]
+
     @staticmethod
     def unpack_words(words: jax.Array):
         """packed f32 words -> (feat0, feat1) f32 arrays, same shape."""
@@ -419,13 +455,10 @@ class GridEncoding(Encoding):
 
         def fwd_impl(params, comps, max_level):
             entry, weight, _ = self._fused_parts(comps, max_level)
-            packed = self.pack_params(params)
+            words_all = self._gather_pair_words(params, entry)
             out = None
-            words_all = []
             for p in range(f // 2):
-                words = packed[p * self._n_words + entry]    # (N, LC)
-                words_all.append(words)
-                v0, v1 = self.unpack_words(words)
+                v0, v1 = self.unpack_words(words_all[p])     # (N, LC)
                 contrib = jnp.dot(
                     v0 * weight, jnp.asarray(fc["reduce_feat"][2 * p]),
                     preferred_element_type=jnp.float32) \
@@ -586,15 +619,14 @@ class GridEncoding(Encoding):
         def fwd_impl(params, comps, rng, max_level):
             F = self.n_features_per_level
             entry = parts(comps, rng)
-            packed = self.pack_params(params)
+            pair_words = self._gather_pair_words(params, entry)
             mask = None
             if max_level is not None:
                 lvl = jnp.asarray(sc["level_of"])[None, :]
                 mask = (jnp.asarray(max_level) >= lvl).astype(jnp.float32)
             out = None
             for p in range(F // 2):
-                words = packed[p * self._n_words + entry]        # (N, L)
-                v0, v1 = self.unpack_words(words)
+                v0, v1 = self.unpack_words(pair_words[p])        # (N, L)
                 if mask is not None:
                     v0 = v0 * mask
                     v1 = v1 * mask

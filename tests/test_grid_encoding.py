@@ -294,15 +294,17 @@ def test_f4_stochastic_unbiased():
 
 def test_complex_grads_bit_exact():
     """complex64 pair-scatter backward (one descriptor per feature PAIR)
-    must be bit-identical to the plain per-plane f32 scatter-add, for
-    both the packed-exact and stochastic paths, F=2 and F=4."""
+    and the c64-packed quad table forward (F % 4 == 0) must be
+    bit-identical to the plain paths, packed-exact and stochastic."""
     import dataclasses
 
     for F in (2, 4):
         enc = GridEncoding(n_dims=3, n_levels=6, n_features_per_level=F,
                            log2_hashmap_size=12, base_resolution=4,
-                           per_level_scale=1.7, complex_grads=True)
-        ref = dataclasses.replace(enc, complex_grads=False)
+                           per_level_scale=1.7, complex_grads=True,
+                           complex_table=(F % 4 == 0))
+        ref = dataclasses.replace(enc, complex_grads=False,
+                                  complex_table=False)
         k = jax.random.PRNGKey(0)
         params = enc.init(k)
         x = jax.random.uniform(jax.random.fold_in(k, 1), (512, 3))
@@ -317,6 +319,8 @@ def test_complex_grads_bit_exact():
                 return jnp.sum(jnp.sin(out * 3.0))
             return jax.grad(f)(params)
 
+        xs = jax.random.uniform(jax.random.fold_in(k, 2), (64, 3))
+        assert jnp.array_equal(enc.apply(params, xs), ref.apply(params, xs))
         assert jnp.array_equal(table_grad(enc), table_grad(ref))
         srng = jax.random.PRNGKey(7)
         assert jnp.array_equal(table_grad(enc, srng), table_grad(ref, srng))
