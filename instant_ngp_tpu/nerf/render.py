@@ -65,8 +65,12 @@ def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
     ts, dts, emits = march_rays(rays, bitfield, aabb_min, aabb_max,
                                 cfg.cone_angle, cfg.max_mip, cfg.n_march,
                                 cfg.max_samples_per_ray)
+    # depth-major compaction: a query-budget capacity sheds the DEEP
+    # tail of every ray uniformly (the reference bounds each compaction
+    # round by target_n_queries=2M, testbed_nerf.cu:1697-1698) — the
+    # network never evaluates tile*max_k mostly-padding samples
     samples = compact_samples(rays, ts, dts, emits, aabb_min, aabb_max,
-                              cfg.sample_capacity)
+                              cfg.sample_capacity, order="depth")
 
     extra_flat = None
     if extra_dims is not None:

@@ -258,10 +258,19 @@ def march_rays(rays: RayBatch, bitfield: jax.Array, aabb_min, aabb_max,
 def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
                     emits: jax.Array, aabb_min, aabb_max,
                     capacity: int,
-                    extra_dims: Optional[jax.Array] = None) -> SampleBatch:
+                    extra_dims: Optional[jax.Array] = None,
+                    order: str = "ray") -> SampleBatch:
     """Prefix-sum compaction of the (R, n_march) candidate grid into
-    (capacity,) flat buffers, ray-major so each ray's samples are
-    contiguous and time-ordered.
+    (capacity,) flat buffers.
+
+    order="ray" (training): ray-major, each ray's samples contiguous and
+    time-ordered (the loss composite needs per-ray segments); when
+    capacity truncates, whole late rays starve.
+    order="depth" (rendering): depth-major — all rays' step k before any
+    ray's step k+1 — so a query-budget capacity (the reference's 2M
+    target_n_queries, testbed_nerf.cu:1697-1698) sheds the DEEP tail of
+    every ray uniformly instead of starving late rays. base/count are
+    not meaningful in this order (count still reports kept samples/ray).
 
     Random-access traffic is ONE index scatter (R*M elements) + ONE
     source-index gather per derived field on the compacted (capacity,)
@@ -270,10 +279,17 @@ def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
     (R*M,) value planes."""
     n_rays, n_march = emits.shape
     e = emits.astype(jnp.int32)
-    slot = jnp.cumsum(e, axis=1) - e                           # (R, M)
     count = jnp.sum(e, axis=1)                                 # (R,)
     base = jnp.cumsum(count) - count                           # (R,)
-    flat_pos = jnp.where(emits, base[:, None] + slot, capacity)
+    if order == "depth":
+        eT = e.T.reshape(-1)
+        rank = (jnp.cumsum(eT) - eT).reshape(n_march, n_rays).T
+        base = jnp.zeros_like(base)
+        count = jnp.sum((rank < capacity) & emits, axis=1)
+    else:
+        slot = jnp.cumsum(e, axis=1) - e                       # (R, M)
+        rank = base[:, None] + slot
+    flat_pos = jnp.where(emits, rank, capacity)
     flat_pos = jnp.minimum(flat_pos, capacity)                 # clamp tail
 
     # single scatter: compacted slot -> flat candidate index. Tail slots
@@ -297,10 +313,14 @@ def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
                       for k in range(3))
     dirs = tuple((d_r[k] + 1.0) * 0.5 for k in range(3))
 
-    n_samples = jnp.minimum(base[-1] + count[-1], capacity)
-    # clip per-ray segments to the capacity
-    base_c = jnp.minimum(base, capacity)
-    count_c = jnp.minimum(count, capacity - base_c)
+    if order == "depth":
+        n_samples = jnp.minimum(jnp.sum(e), capacity)
+        base_c, count_c = base, count          # count = kept/ray; base 0
+    else:
+        n_samples = jnp.minimum(base[-1] + count[-1], capacity)
+        # clip per-ray segments to the capacity
+        base_c = jnp.minimum(base, capacity)
+        count_c = jnp.minimum(count, capacity - base_c)
     return SampleBatch(positions, dirs, dt_flat, t_flat, ray_id,
                        base_c, count_c, n_samples, flat_pos, src)
 

@@ -105,6 +105,9 @@ class NerfTestbed:
         # descriptor-bound on TPU, so candidate count is ~linear cost).
         self.n_march = self._derive_n_march()
         self.max_samples_per_ray = 1024
+        # render-path network-query budget per tile dispatch (reference
+        # target_n_queries, testbed_nerf.cu:1697-1698)
+        self.render_query_budget = 2 << 20
         # generation capacity = multiplier * target batch (the reference
         # sizes its uncompacted buffers at 16x target, testbed_nerf.cu:2685,
         # but pads the COMPACTED batch to the target with fill_rollover —
@@ -827,14 +830,18 @@ class NerfTestbed:
         if key not in self._render_fns:
             from .render import RenderConfig, render_tile
 
-            # capacity covers EVERY ray at the full per-ray cap: a
-            # shared-capacity render buffer starves late rays in the tile
-            # when early-training scenes march hundreds of samples/ray
+            # depth-major compaction + query budget (reference
+            # target_n_queries=2M, testbed_nerf.cu:1697): capacity is the
+            # budget, not tile*max_k — truncation sheds every ray's deep
+            # tail uniformly, so late rays can't starve and the network
+            # never evaluates a 64x-padded buffer (which made one eval
+            # view cost 270 s on TPU)
             k_render = min(self.max_samples_per_ray, 512)
             cfg = RenderConfig(
-                n_rays=tile, n_march=1024,
+                n_rays=tile, n_march=self.n_march,
                 max_samples_per_ray=k_render,
-                sample_capacity=tile * k_render,
+                sample_capacity=min(tile * k_render,
+                                    self.render_query_budget),
                 cone_angle=self.scene.cone_angle_constant,
                 max_mip=self.scene.max_cascade,
                 rgb_activation=self.scene.rgb_activation,

@@ -70,20 +70,22 @@ def main():
         timeline.append(entry)
         print(entry, flush=True)
 
-    perf = tb.train_stats()
-    out = {
-        "scene": "fox (real capture, OpenCV lens)",
-        "backend": jax.default_backend(),
-        "eval": {"views": args.eval_views, "spp": args.eval_spp,
-                 "downscale": args.eval_downscale,
-                 "note": "PSNR in sRGB vs GT on black, run.py semantics"},
-        "steps_per_s": round(perf.get("steps_per_s") or 0.0, 3),
-        "samples_per_s": round(perf.get("samples_per_s") or 0.0, 1),
-        "timeline": timeline,
-    }
-    path = os.path.join(args.out_dir, "fox_convergence.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        # write incrementally — tunnel runs can die mid-flight and a
+        # partial timeline is still evidence
+        perf = tb.train_stats()
+        out = {
+            "scene": "fox (real capture, OpenCV lens)",
+            "backend": jax.default_backend(),
+            "eval": {"views": args.eval_views, "spp": args.eval_spp,
+                     "downscale": args.eval_downscale,
+                     "note": "PSNR in sRGB vs GT on black, run.py semantics"},
+            "steps_per_s": round(perf.get("steps_per_s") or 0.0, 3),
+            "samples_per_s": round(perf.get("samples_per_s") or 0.0, 1),
+            "timeline": timeline,
+        }
+        path = os.path.join(args.out_dir, "fox_convergence.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
     print("wrote", path)
 
     img = impl.render_training_view(args.eval_views[0], spp=4,

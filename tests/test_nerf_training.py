@@ -102,6 +102,7 @@ def test_nerf_render_and_snapshot(testbed, tmp_path):
 
     tb2 = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
     tb2.max_samples_per_ray = testbed.max_samples_per_ray
+    tb2.n_march = testbed.n_march
     tb2.load_snapshot_state(load_snapshot(path))
     img2 = tb2.render_training_view(0, width=32, height=32)
     np.testing.assert_allclose(img, img2, atol=1e-5)
