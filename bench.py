@@ -117,6 +117,13 @@ def run_with_watchdog(fn, timeout_s):
 
 def main():
     result = run_with_watchdog(bench_nerf, timeout_s=540)
+    if result is not None:
+        # secondary metric: image-mode throughput (pure hash-encode+MLP
+        # at batch 2^18 — the VERDICT r1 "encoding is fixed" gate)
+        img = run_with_watchdog(bench_image, timeout_s=360)
+        if img is not None:
+            result["detail"]["image_train_samples_per_s"] = img["value"]
+            result["detail"]["image_vs_baseline"] = img["vs_baseline"]
     if result is None:
         result = run_with_watchdog(bench_image, timeout_s=420)
     if result is None:
