@@ -94,12 +94,20 @@ def volume_demo(full: bool):
     cfg = load_network_config(find_network_config("base.json",
                                                   mode="volume"))
     tb = VolumeTestbed(dens.astype(np.float32), cfg)
-    tb.train(100 if not full else 1000,
-             batch_size=1 << (12 if not full else 17))
-    cam = np.array([[1, 0, 0, 0.5], [0, -1, 0, 0.5], [0, 0, 1, -1.6]],
+    # ~1500 steps before the predicted density approaches the GT
+    # majorant (8.0) — below that, delta tracking keeps the blob nearly
+    # transparent and the render reads as blank
+    tb.train(1500 if not full else 3000,
+             batch_size=1 << (14 if not full else 17))
+    cam = np.array([[1, 0, 0, 0.5], [0, -1, 0, 0.5], [0, 0, 1, -0.6]],
                    np.float32)
     write_image(os.path.join(OUT, "volume.png"),
                 tb.render_frame(160, 160, cam).astype(np.float32))
+    # GT delta-tracked render of the same view — the oracle the model
+    # is trained against (volume_render_kernel_gt, testbed_volume.cu:280)
+    write_image(os.path.join(OUT, "volume_gt.png"),
+                tb.render_frame(160, 160, cam,
+                                use_gt=True).astype(np.float32))
 
 
 def geometry_demo(full: bool):
@@ -125,9 +133,17 @@ def geometry_demo(full: bool):
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--full", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (this env force-sets the "
+                   "tunneled-TPU platform via a site hook, so the "
+                   "JAX_PLATFORMS env var alone does not stick)")
     p.add_argument("--modes", nargs="*",
                    default=["image", "nerf", "sdf", "volume", "geometry"])
     args = p.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(OUT, exist_ok=True)
     t0 = time.time()
     for mode in args.modes:

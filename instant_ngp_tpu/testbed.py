@@ -164,6 +164,16 @@ class Testbed:
             return self.impl.performance_stats()
         return {}
 
+    def profile_trace(self, logdir: str):
+        """Context manager: capture a jax.profiler device trace (XLA ops,
+        HBM traffic, fusion boundaries) for everything run inside it.
+        View with TensorBoard or Perfetto. The reference's analog is its
+        Ema wall-clock meters (testbed.h:936-940); on TPU the device
+        trace is the authoritative per-phase profile (SURVEY.md §5)."""
+        import jax
+
+        return jax.profiler.trace(logdir)
+
     def frame(self) -> bool:
         """Headless heartbeat: one training step when training is on, and
         — when `shall_render` is set — one rendered frame at a resolution
