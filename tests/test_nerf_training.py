@@ -139,6 +139,52 @@ def test_sampler_segments_are_consistent():
         assert (seg == r).all()
 
 
+def test_depth_major_compaction_sheds_deep_tail_uniformly():
+    """order="depth" (render path): when capacity truncates, every ray
+    keeps its EARLY samples and only the deep tail is shed — the
+    reference's target_n_queries budget semantics
+    (testbed_nerf.cu:1697-1698) — unlike ray-major order, which
+    starves whole late rays."""
+    from instant_ngp_tpu.nerf.sampler import (compact_samples,
+                                              generate_rays, march_rays)
+
+    tb = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
+    tb.density_samples_override = 1 << 12
+    tb.training_prep()
+    aabb_min = jnp.asarray(tb.scene.aabb_min)
+    aabb_max = jnp.asarray(tb.scene.aabb_max)
+    rays, _ = generate_rays(jax.random.PRNGKey(0), tb.data, 128, aabb_min,
+                            aabb_max, 0.0, tb.scene.lens_mode)
+    ts, dts, emits = march_rays(rays, tb.bitfield, aabb_min, aabb_max,
+                                0.0, tb.scene.max_cascade, 64, 16)
+    total = int(jnp.sum(emits))
+    cap = max(total // 2, 1)  # force truncation
+    s = compact_samples(rays, ts, dts, emits, aabb_min, aabb_max, cap,
+                        order="depth")
+    assert int(s.n_samples) == cap
+
+    e = np.asarray(emits)
+    kept = np.asarray(s.cand_slot) < cap          # (R, M) kept mask
+    assert kept.sum() == cap
+    # kept set is depth-prefix-closed: within the global depth-major
+    # ordering, every kept candidate outranks every dropped one —
+    # i.e. for each ray the kept samples are its EARLIEST emitted ones
+    for r in [0, 31, 64, 100]:
+        emitted = np.nonzero(e[r])[0]
+        kr = kept[r][emitted]
+        if kr.any():
+            last_kept = np.nonzero(kr)[0].max()
+            assert kr[:last_kept + 1].all(), \
+                f"ray {r} has a dropped sample before a kept one"
+    # exact semantics: kept = the `cap` lowest-ranked emitted candidates
+    # in depth-major (step-k-major) order
+    rank_np = (np.cumsum(e.T.reshape(-1)) - e.T.reshape(-1)) \
+        .reshape(e.shape[1], e.shape[0]).T
+    np.testing.assert_array_equal(kept, (rank_np < cap) & (e > 0))
+    # per-ray counts agree with the kept mask
+    np.testing.assert_array_equal(np.asarray(s.ray_count), kept.sum(1))
+
+
 def test_scanned_multi_step_dispatch_matches_eager():
     """steps_per_dispatch>1 (one lax.scan program per block) must be
     bit-identical to the eager per-step path."""
