@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""A/B the complex64-packed hash-table paths on real hardware.
+
+Two independent flags on GridEncoding (ops/grid_encoding.py):
+  complex_table - forward gathers ONE c64 word per F=4 quad
+                  (vs two bf16-pair f32 words): halves fwd descriptors.
+  complex_grads - backward scatter-adds ONE c64 word per feature pair
+                  (vs two f32 scatters): halves bwd descriptors.
+
+Both are bit-exact vs the packed baseline (tests/test_grid_encoding.py::
+test_complex_grads_bit_exact proves it on CPU); this script proves
+parity + timing on the TPU so the defaults can be flipped with evidence.
+Gather/scatter cost on v5e is per-DESCRIPTOR (~130M/s) regardless of
+payload width, so halving descriptor count should halve encode time.
+
+Usage: python scripts/ab_c64_encoding.py [--n 262144] [--iters 12]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timed(fn, *args, iters=12):
+    import jax
+
+    jax.block_until_ready(fn(*args))
+    out = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        out.append((time.perf_counter() - t0) * 1e3)
+    return statistics.median(out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 18)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--levels", type=int, default=8)
+    ap.add_argument("--feats", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from instant_ngp_tpu.ops.grid_encoding import GridEncoding
+
+    base = GridEncoding(n_dims=3, n_levels=args.levels,
+                        n_features_per_level=args.feats,
+                        log2_hashmap_size=19, base_resolution=16,
+                        per_level_scale=1.62)
+    params = base.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    comps = [jax.random.uniform(jax.random.fold_in(key, c), (args.n,))
+             for c in range(3)]
+    rng = jax.random.PRNGKey(2)
+
+    report = {"backend": jax.default_backend(), "n": args.n,
+              "levels": args.levels, "feats": args.feats, "variants": {}}
+
+    variants = {
+        "packed_bf16": dict(complex_table=False, complex_grads=False),
+        "c64_table": dict(complex_table=True, complex_grads=False),
+        "c64_grads": dict(complex_table=False, complex_grads=True),
+        "c64_both": dict(complex_table=True, complex_grads=True),
+    }
+    outs, grads = {}, {}
+    for name, kw in variants.items():
+        enc = dataclasses.replace(base, **kw)
+
+        @jax.jit
+        def fwd(p, cx, cy, cz, r, _enc=enc):
+            return _enc.apply_components(p, [cx, cy, cz], rng=r)
+
+        @jax.jit
+        def bwd(p, cx, cy, cz, r, _enc=enc):
+            def f(pp):
+                o = _enc.apply_components(pp, [cx, cy, cz], rng=r)
+                return jnp.sum(o * o)
+            return jax.grad(f)(p)
+
+        t_f = timed(fwd, params, *comps, rng, iters=args.iters)
+        t_b = timed(bwd, params, *comps, rng, iters=args.iters)
+        outs[name] = fwd(params, *comps, rng)
+        grads[name] = bwd(params, *comps, rng)
+        report["variants"][name] = {"fwd_ms": round(t_f, 3),
+                                    "fwd_bwd_ms": round(t_b, 3)}
+
+    import numpy as np
+
+    ref_o, ref_g = outs["packed_bf16"], grads["packed_bf16"]
+    for name in variants:
+        do = float(jnp.max(jnp.abs(outs[name] - ref_o)))
+        dg = float(jnp.max(jnp.abs(grads[name] - ref_g)))
+        report["variants"][name]["max_abs_out_delta"] = do
+        report["variants"][name]["max_abs_grad_delta"] = dg
+        assert np.isfinite(do) and np.isfinite(dg)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
