@@ -117,6 +117,11 @@ def run_with_watchdog(fn, timeout_s):
 
 def main():
     result = run_with_watchdog(bench_nerf, timeout_s=540)
+    if result is None:
+        # the tunneled TPU wedges a single process's stream for ~20 min
+        # at a time while FRESH processes get normal service (measured
+        # 2026-08-17) — one retry in a new process usually lands
+        result = run_with_watchdog(bench_nerf, timeout_s=540)
     if result is not None:
         # secondary metric: image-mode throughput (pure hash-encode+MLP
         # at batch 2^18 — the VERDICT r1 "encoding is fixed" gate)
