@@ -126,6 +126,13 @@ class NerfTestbed:
         # used automatically whenever camera/distortion optimization
         # needs spatial input gradients, and always at render time.
         self.stochastic_corners = True
+        # coarse-to-fine variance schedule: the 1-corner estimator's
+        # feature noise costs converged quality (measured ~4 dB on the
+        # synthetic test scene at 600 steps), so after this step the
+        # training encode switches to the exact d-linear path and the
+        # remaining steps polish at full precision. None = never switch.
+        # The switch recompiles the train program once (cached per flag).
+        self.stochastic_corners_until: Optional[int] = 1024
 
         # density-update sample counts; None = reference cadence
         # (all cells for the first 256 steps, then 1/4 + 1/4)
@@ -220,6 +227,15 @@ class NerfTestbed:
         self._steps_at_last_sync = 0
 
     # ------------------------------------------------------------------
+    def _stoch_now(self) -> bool:
+        """Effective stochastic-corner flag at the CURRENT training step
+        (the coarse-to-fine variance schedule: stochastic until
+        stochastic_corners_until, exact d-linear after)."""
+        if not self.stochastic_corners:
+            return False
+        until = getattr(self, "stochastic_corners_until", None)
+        return until is None or self.training_step < until
+
     def _train_cfg(self, n_rays: int, max_k: int) -> NerfTrainStepConfig:
         """n_rays is PER-CHIP; capacity splits the global target batch
         across shards so the effective batch stays 2^18 total."""
@@ -241,7 +257,7 @@ class NerfTestbed:
             optimize_exposure=self.optimize_exposure,
             use_error_map=self.use_error_map_sampling,
             error_map_res=self._error_map_res,
-            stochastic_corners=self.stochastic_corners,
+            stochastic_corners=self._stoch_now(),
         )
 
     def _get_train_fn(self, n_rays: int, max_k: int):
@@ -249,7 +265,7 @@ class NerfTestbed:
                self.optimize_focal_length, self.optimize_exposure,
                self.train_envmap, self.optimize_distortion,
                self._error_cdfs is not None, self._error_map_res,
-               self.stochastic_corners)
+               self._stoch_now())
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)
             aabb_min = jnp.asarray(self.scene.aabb_min)
@@ -288,7 +304,7 @@ class NerfTestbed:
         has_error_map = self._error_map is not None
         key = ("scan", n_rays, max_k, n_scan, prep_mode,
                self._error_cdfs is not None, self._error_map_res,
-               has_error_map, self.stochastic_corners)
+               has_error_map, self._stoch_now())
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)
             aabb_min = jnp.asarray(self.scene.aabb_min)
@@ -361,7 +377,7 @@ class NerfTestbed:
         density_activation = self.scene.density_activation
         span = aabb_max - aabb_min
 
-        stoch = getattr(self, "stochastic_corners", False)
+        stoch = self._stoch_now()
 
         def evaluate(params, density_grid, rng, decay):
             from .model import network_to_density
@@ -463,7 +479,7 @@ class NerfTestbed:
     # density grid maintenance (training_prep_nerf)
     # ------------------------------------------------------------------
     def _get_density_fn(self, n_uniform: int, n_nonuniform: int):
-        key = (n_uniform, n_nonuniform, self.stochastic_corners,
+        key = (n_uniform, n_nonuniform, self._stoch_now(),
                self.mesh is not None)
         if key not in self._density_fns:
             if self.mesh is not None:
@@ -620,6 +636,12 @@ class NerfTestbed:
                 # boundary. Blocks never straddle a boundary.
                 k = min(K, n_steps - done)
                 step = self.training_step
+                until = getattr(self, "stochastic_corners_until", None)
+                if (self.stochastic_corners and until is not None
+                        and step < until):
+                    # a block must not straddle the stochastic->exact
+                    # switch (the scanned program bakes the flag in)
+                    k = min(k, until - step)
                 if step < self.warmup_full_grid_preps:
                     k = min(k, self.warmup_full_grid_preps - step)
                     mode = "per_step"

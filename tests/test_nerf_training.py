@@ -212,6 +212,46 @@ def test_scanned_multi_step_dispatch_matches_eager():
     np.testing.assert_array_equal(g1, g2)
 
 
+def test_stochastic_corner_schedule_switches_to_exact():
+    """stochastic_corners_until: training encodes with the 1-corner
+    estimator before the switch step and the exact d-linear path after
+    (coarse-to-fine variance schedule), in both the eager and scanned
+    dispatch paths."""
+    tb = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
+    tb.target_batch_size = 1 << 10
+    tb.rays_per_batch = 256
+    tb.n_march = 96
+    tb.max_samples_per_ray = 32
+    tb.density_samples_override = 1 << 10
+    tb.stochastic_corners = True
+    tb.stochastic_corners_until = 6
+    assert tb._stoch_now()
+    tb.train(5)
+    assert tb._stoch_now()          # step 5 < 6: still stochastic
+    tb.train(2)
+    assert not tb._stoch_now()      # step 7 >= 6: exact
+    # both variants were compiled as distinct programs
+    stoch_keys = {k[-1] for k in tb._train_fns}
+    assert stoch_keys == {True, False}
+    loss = tb.train(2)
+    assert np.isfinite(loss)
+
+    # scanned path: blocks clamp at the switch boundary
+    tb2 = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
+    tb2.target_batch_size = 1 << 10
+    tb2.rays_per_batch = 256
+    tb2.n_march = 96
+    tb2.max_samples_per_ray = 32
+    tb2.density_samples_override = 1 << 10
+    tb2.stochastic_corners = True
+    tb2.stochastic_corners_until = 6
+    tb2.steps_per_dispatch = 4
+    tb2.train(9)
+    assert tb2.training_step == 9
+    scan_stoch = {k[-1] for k in tb2._train_fns if k[0] == "scan"}
+    assert scan_stoch == {True, False}
+
+
 def test_camera_and_exposure_optimization_updates_offsets():
     tb = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
     tb.target_batch_size = 1 << 12
