@@ -96,6 +96,11 @@ class ImageTestbed:
         # 2^d fewer gather/scatter descriptors — the dominant cost on
         # TPU). Exact d-linear encode always used at render/eval time.
         self.stochastic_corners = True
+        # image fitting is a high-precision regression: corner noise
+        # costs ~15 dB at convergence (albert quarter-res @1000 steps:
+        # 25.0 dB stochastic vs 40.6 exact; 256 stochastic + 744 exact
+        # recovers 39.5). Default: cheap stochastic warmup, then exact.
+        self.stochastic_corners_until = 256
 
     # ------------------------------------------------------------------
     # target fetch — eval_image_kernel_and_snap (testbed_image.cu:164-222)
@@ -139,13 +144,20 @@ class ImageTestbed:
     # ------------------------------------------------------------------
     # training
     # ------------------------------------------------------------------
-    def _make_train_fn(self, batch_size: int):
+    def _stoch_now(self) -> bool:
+        """Effective stochastic-corner flag at the current step (the
+        coarse-to-fine variance schedule)."""
+        if not self.stochastic_corners:
+            return False
+        until = getattr(self, "stochastic_corners_until", None)
+        return until is None or self.training_step < until
+
+    def _make_train_fn(self, batch_size: int, stoch: bool):
         """One fused, donated jit step (or, with steps_per_dispatch > 1,
         a lax.scan block of them — one dispatch per block, which matters
         when every dispatch pays tunnel latency)."""
         mode = self.random_mode
         seed = self.seed
-        stoch = self.stochastic_corners
 
         def one_step(state, image, step, key):
             enc_key = jax.random.fold_in(key, 0x5C) if stoch else None
@@ -180,10 +192,25 @@ class ImageTestbed:
 
     def train(self, n_steps: int, batch_size: int = 1 << 18) -> float:
         """Run n_steps training steps; returns last loss."""
+        remaining = n_steps
+        loss = self.loss_scalar
+        until = getattr(self, "stochastic_corners_until", None)
+        while remaining > 0:
+            n = remaining
+            if (self.stochastic_corners and until is not None
+                    and self.training_step < until):
+                # don't cross the stochastic->exact boundary in a chunk
+                n = min(n, until - self.training_step)
+            loss = self._train_chunk(n, batch_size)
+            remaining -= n
+        return loss
+
+    def _train_chunk(self, n_steps: int, batch_size: int) -> float:
+        stoch = self._stoch_now()
         cache_key = (batch_size, min(self.steps_per_dispatch, n_steps),
-                     self.stochastic_corners)
+                     stoch)
         if self._train_n != cache_key:
-            self._train_fn = self._make_train_fn(batch_size)
+            self._train_fn = self._make_train_fn(batch_size, stoch)
             self._train_n = cache_key
         base_key = jax.random.PRNGKey(self.seed)
         loss = None

@@ -183,8 +183,18 @@ class SdfTestbed:
 
     # ------------------------------------------------------------------
     # stochastic-corner grid encoding during training (unbiased, 2^d
-    # fewer gather/scatter descriptors on TPU; no-op for octree configs)
+    # fewer gather/scatter descriptors on TPU; no-op for octree configs).
+    # SDF fitting is a precision regression like image mode, so the
+    # coarse-to-fine schedule switches to the exact d-linear encode
+    # after stochastic_corners_until steps (None = never).
     stochastic_corners = True
+    stochastic_corners_until = 256
+
+    def _stoch_now(self) -> bool:
+        if not self.stochastic_corners:
+            return False
+        until = getattr(self, "stochastic_corners_until", None)
+        return until is None or self.training_step < until
 
     def train(self, n_steps: int, batch_size: int = 1 << 18) -> float:
         for _ in range(n_steps):
@@ -196,7 +206,7 @@ class SdfTestbed:
                 pos, dist = self.generate_training_samples(batch_size)
             enc_key = jax.random.fold_in(
                 jax.random.PRNGKey(self.seed ^ 0x5C), self.training_step) \
-                if self.stochastic_corners else None
+                if self._stoch_now() else None
             self.state, loss = self.trainer.training_step(
                 self.state, jnp.asarray(pos), jnp.asarray(dist)[:, None],
                 encode_rng=enc_key)

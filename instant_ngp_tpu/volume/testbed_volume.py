@@ -280,10 +280,18 @@ class VolumeTestbed:
         return (vert_pos.reshape(-1, 3), targets.reshape(-1, 4),
                 valid.reshape(-1))
 
-    def _make_train_fn(self, batch_size: int):
-        n_paths = batch_size // MAX_TRAIN_VERTICES
+    def _stoch_now(self) -> bool:
+        """Coarse-to-fine variance schedule (see image/sdf testbeds):
+        stochastic-corner encode until stochastic_corners_until, exact
+        d-linear after. Volume fits an emission+density field — a
+        precision regression like image/sdf."""
+        if not getattr(self, "stochastic_corners", True):
+            return False
+        until = getattr(self, "stochastic_corners_until", 256)
+        return until is None or self.training_step < until
 
-        stoch = getattr(self, "stochastic_corners", True)
+    def _make_train_fn(self, batch_size: int, stoch: bool):
+        n_paths = batch_size // MAX_TRAIN_VERTICES
 
         def step(state, key):
             k_gen, k_enc = jax.random.split(key)
@@ -307,11 +315,12 @@ class VolumeTestbed:
         return jax.jit(step, donate_argnums=(0,))
 
     def train(self, n_steps: int, batch_size: int = 1 << 18) -> float:
-        if self._train_n != batch_size:
-            self._train_fn = self._make_train_fn(batch_size)
-            self._train_n = batch_size
         loss = None
         for _ in range(n_steps):
+            stoch = self._stoch_now()
+            if self._train_n != (batch_size, stoch):
+                self._train_fn = self._make_train_fn(batch_size, stoch)
+                self._train_n = (batch_size, stoch)
             key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                      self.training_step)
             self.state, loss = self._train_fn(self.state, key)
