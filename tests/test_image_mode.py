@@ -43,6 +43,28 @@ def test_image_training_psnr_increases():
     assert p1 > 20
 
 
+def test_image_variance_schedule_switches_to_exact():
+    """stochastic_corners_until: one train() call crossing the boundary
+    splits into a stochastic chunk and an exact chunk; the step counter
+    advances correctly and training stays finite."""
+    tb = ImageTestbed(synthetic_image(), SMALL_CFG,
+                      compute_dtype=jnp.float32)
+    tb.stochastic_corners_until = 20
+    assert tb._stoch_now()
+    loss = tb.train(50, batch_size=1 << 10)
+    assert tb.training_step == 50
+    assert not tb._stoch_now()
+    assert np.isfinite(loss)
+    # boundary respected also from the scanned dispatch path
+    tb2 = ImageTestbed(synthetic_image(), SMALL_CFG,
+                       compute_dtype=jnp.float32)
+    tb2.stochastic_corners_until = 20
+    tb2.steps_per_dispatch = 8
+    tb2.train(50, batch_size=1 << 10)
+    assert tb2.training_step == 50
+    assert not tb2._stoch_now()
+
+
 def test_image_scanned_dispatch_matches_eager():
     import jax
 
