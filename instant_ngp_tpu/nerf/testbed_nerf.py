@@ -796,9 +796,11 @@ class NerfTestbed:
 
         The march examines candidates k in [0, n_march) relative to each
         ray's own aabb-entry stepping index s0, so the needed depth is
-        max over rays of s(t_exit) - s(t_enter) — typically far below
-        the 1024 global cap when cameras sit outside the volume (fox:
-        ~500). Sampled over a sparse pixel grid of every camera with a
+        max over rays of s(t_exit) - s(t_enter) — below the 1024 global
+        cap when cameras sit close to or inside the volume (fox's orbit
+        spans ~892 stepping units -> still 1024 after margin; tighter
+        captures land at 640 or less). Sampled over a sparse pixel grid
+        of every camera with a
         10% + 32-step margin, rounded up to a power of two."""
         from .march import ray_intersect_aabb, to_stepping_space
         from .sampler import build_rays
@@ -825,10 +827,12 @@ class NerfTestbed:
         except Exception:
             worst = 1024.0
         need = int(worst * 1.1) + 32
-        m = 128
-        while m < need and m < 1024:
-            m *= 2
-        return m
+        # round to a lane-aligned multiple of 128, not a power of two:
+        # n_march is derived ONCE per scene (it never adapts, so it can't
+        # cause recompiles) and every (R, n_march) march/composite plane
+        # scales linearly with it — fox needs 582, and pow2 rounding
+        # would waste 1.6x on a 1024 cap
+        return min(max((need + 127) // 128 * 128, 128), 1024)
 
     @staticmethod
     def _bucket(n: int) -> int:
