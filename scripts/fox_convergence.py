@@ -32,6 +32,8 @@ def main():
     # downscale 4 keeps the eval inside two cached 65k-ray tile
     # dispatches per view (the compiled tile fn is resolution-agnostic)
     ap.add_argument("--eval-downscale", type=int, default=4)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the milestone snapshot if present")
     args = ap.parse_args()
 
     import jax
@@ -40,25 +42,44 @@ def main():
     from instant_ngp_tpu.data.images import write_image
     from instant_ngp_tpu.testbed import Testbed
 
+    os.makedirs(args.out_dir, exist_ok=True)
+    snap_path = os.path.join(args.out_dir, "fox_resume.ingp")
+    json_path = os.path.join(args.out_dir, "fox_convergence.json")
+
     tb = Testbed()
     tb.load_training_data(args.scene)
-    tb.reload_network_from_file("base.json")
+    timeline = []
+    t_train = 0.0
+    trained = 1
+    if args.resume and os.path.isfile(snap_path) \
+            and os.path.isfile(json_path):
+        # the tunneled TPU wedges single processes for 20-40+ min;
+        # resuming from the last milestone snapshot loses nothing
+        tb.load_snapshot(snap_path)
+        with open(json_path) as f:
+            prev = json.load(f)
+        timeline = prev["timeline"]
+        t_train = timeline[-1]["train_time_s"]
+        trained = timeline[-1]["step"]
+        print(f"resumed at step {trained} (t_train {t_train}s)",
+              flush=True)
+    else:
+        tb.reload_network_from_file("base.json")
     impl = tb.impl
     impl.rays_per_batch = 1 << 11
     impl.adapt_ray_batch = False
 
-    os.makedirs(args.out_dir, exist_ok=True)
-    timeline = []
     # warm the compile caches OUTSIDE the timed run (first-compile of the
     # train program costs minutes through the tunnel and is cached across
     # steps; the reference's 5 s figure also excludes CUDA compilation)
     tb.train(1)
+    trained += 1 if trained > 1 else 0
     # train_time_s counts ONLY tb.train() wall time — milestone eval
     # renders are instrumentation and excluded, matching how the
     # reference's "fox in 5 s" figure is taken (training only)
-    t_train = 0.0
-    trained = 1
     for ms in args.milestones:
+        if ms <= trained:
+            continue
         t0 = time.perf_counter()
         tb.train(ms - trained)
         t_train += time.perf_counter() - t0
@@ -89,10 +110,10 @@ def main():
             "samples_per_s": round(perf.get("samples_per_s") or 0.0, 1),
             "timeline": timeline,
         }
-        path = os.path.join(args.out_dir, "fox_convergence.json")
-        with open(path, "w") as f:
+        with open(json_path, "w") as f:
             json.dump(out, f, indent=1)
-    print("wrote", path)
+        tb.save_snapshot(snap_path)   # resume point for wedge recovery
+    print("wrote", json_path)
 
     img = impl.render_training_view(args.eval_views[0], spp=4,
                                     width=540, height=960)
