@@ -93,6 +93,14 @@ class GridEncoding(Encoding):
     # feature QUAD instead of per pair. Same bf16 forward precision as
     # `packed`. Flipped on after TPU validation.
     complex_table: bool = False
+    # stochastic-corner training encode: along this many RANDOMLY-chosen
+    # axes per (sample, level) the interpolation is computed exactly
+    # (both endpoints gathered and weighted); the rest are
+    # Bernoulli-sampled. 0 = pure 1-corner estimator (2^d fewer
+    # descriptors, highest variance); d-1 = 2^(d-1) descriptors, lowest
+    # stochastic variance. Trades descriptor count against estimator
+    # noise — see _build_stochastic_call.
+    stochastic_exact_axes: int = 0
 
     def __post_init__(self):
         assert self.n_dims in (2, 3), "grid encoding supports 2D and 3D inputs"
@@ -179,6 +187,7 @@ class GridEncoding(Encoding):
             grid_type=gtype,
             interpolation=config.get("interpolation", "Linear"),
             dtype=dtype,
+            stochastic_exact_axes=config.get("stochastic_exact_axes", 0),
         )
 
     # ------------------------------------------------------------------
@@ -566,25 +575,48 @@ class GridEncoding(Encoding):
         return sc
 
     def _build_stochastic_call(self):
-        """custom-VJP encode that samples ONE corner per (sample, level),
-        per-axis with probability equal to the d-linear weight — an
-        unbiased estimator of the d-linear interpolation with 2^d fewer
+        """custom-VJP encode that samples corners per (sample, level)
+        with probability equal to the d-linear weight — an unbiased
+        estimator of the d-linear interpolation with up to 2^d fewer
         gather descriptors (the dominant cost on TPU v5e, where gathers
         run at ~110 M descriptors/s regardless of width).
 
+        `stochastic_exact_axes` trades descriptors for variance: along j
+        randomly-chosen axes the interpolation is computed EXACTLY (both
+        endpoints enumerated and weighted), the remaining d-j axes are
+        Bernoulli-sampled — 2^j descriptors per (sample, level) instead
+        of 2^d. j=0 is the original 1-corner estimator.
+
         Training-only: the backward returns ZERO input gradients (callers
         that need dL/dx — camera/distortion optimization, Normals — must
-        use the exact path). Table gradients scatter-add the raw output
-        cotangent at the selected corner (weight 1), whose expectation is
-        the exact d-linearly weighted gradient."""
+        use the exact path). Table gradients scatter-add the output
+        cotangent times the corner weight, whose expectation is the exact
+        d-linearly weighted gradient."""
         sc = self._stoch_constants()
         d = self.n_dims
+        j_exact = int(getattr(self, "stochastic_exact_axes", 0))
+        assert 0 <= j_exact < d
+
+        res_arr = np.asarray(sc["res"])[None, :]
+
+        def _terms(coord_k, k):
+            """coord (N, L) int32 -> (dense term, hash term) uint32."""
+            if self.grid_type == "Tiled":
+                dense_k = jnp.remainder(coord_k, res_arr)
+            else:
+                dense_k = jnp.clip(coord_k, 0, res_arr - 1)
+            term_dense = dense_k.astype(jnp.uint32) \
+                * jnp.asarray(sc["stride"][k])[None, :]
+            term_hash = coord_k.astype(jnp.uint32) * np.uint32(_PRIMES[k])
+            return term_dense, term_hash
 
         def parts(comps, rng):
+            """-> list of (entry (N, L) int32, weight (N, L) f32|None).
+
+            weight None means 1 (pure Bernoulli corner)."""
             scale = jnp.asarray(sc["scale"])[None, :]            # (1, L)
-            keys = jax.random.split(rng, d)
-            idx_hash = None
-            idx_dense = None
+            keys = jax.random.split(rng, d + 1)
+            pos0, w, bern = [], [], []
             for k in range(d):
                 pos_k = comps[k].astype(jnp.float32)[:, None] * scale + 0.5
                 pos0_k = jnp.floor(pos_k)
@@ -596,86 +628,130 @@ class GridEncoding(Encoding):
                 else:
                     w_k = w_raw
                 u_k = jax.random.uniform(keys[k], w_k.shape)
-                bit_k = (u_k < w_k).astype(jnp.int32)
-                coord_k = pos0_k.astype(jnp.int32) + bit_k
-                res = jnp.asarray(sc["res"])[None, :]
-                if self.grid_type == "Tiled":
-                    dense_k = jnp.remainder(coord_k, res)
-                else:
-                    dense_k = jnp.clip(coord_k, 0, res - 1)
-                term_dense = dense_k.astype(jnp.uint32) \
-                    * jnp.asarray(sc["stride"][k])[None, :]
-                idx_dense = term_dense if idx_dense is None \
-                    else idx_dense + term_dense
-                term_hash = coord_k.astype(jnp.uint32) * np.uint32(_PRIMES[k])
-                idx_hash = term_hash if idx_hash is None \
-                    else idx_hash ^ term_hash
+                pos0.append(pos0_k.astype(jnp.int32))
+                w.append(w_k)
+                bern.append((u_k < w_k).astype(jnp.int32))
+
             size = jnp.asarray(sc["size"])[None, :]
             hashed = jnp.asarray(sc["hashed"])[None, :]
-            idx = jnp.where(hashed == 1, idx_hash % size, idx_dense % size)
-            return (jnp.asarray(sc["offset"])[None, :] + idx) \
-                .astype(jnp.int32)                               # (N, L)
+            offset = jnp.asarray(sc["offset"])[None, :]
+
+            def entry_from_bits(bits):
+                idx_dense = None
+                idx_hash = None
+                for k in range(d):
+                    td, th = _terms(pos0[k] + bits[k], k)
+                    idx_dense = td if idx_dense is None else idx_dense + td
+                    idx_hash = th if idx_hash is None else idx_hash ^ th
+                idx = jnp.where(hashed == 1, idx_hash % size,
+                                idx_dense % size)
+                return (offset + idx).astype(jnp.int32)
+
+            if j_exact == 0:
+                return [(entry_from_bits(bern), None)]
+
+            # choose which axes are exact, per (sample, level): pick a
+            # uniformly random axis a; j=1 -> a is exact; j=2 (d=3) ->
+            # a is the Bernoulli axis, the other two are exact
+            a = jax.random.randint(keys[d], bern[0].shape, 0, d)
+            out = []
+            n_enum = 1 << j_exact
+            for combo in range(n_enum):
+                bits, weight = [], None
+                for k in range(d):
+                    if j_exact == 1:
+                        exact_k = (a == k)
+                        # the single exact axis takes enum bit combo&1
+                        e_bit = combo & 1
+                    else:                      # j == d-1 == 2
+                        exact_k = (a != k)
+                        # enum bits assigned to exact axes in cyclic
+                        # order after the stochastic axis a
+                        off_k = (k - a - 1) % d  # 0 or 1 for exact axes
+                        e_bit = (combo >> 1) & 1
+                        e_bit = jnp.where(off_k == 0, combo & 1, e_bit)
+                    eb = jnp.asarray(e_bit, jnp.int32)
+                    bit_k = jnp.where(exact_k, eb, bern[k])
+                    w_sel = jnp.where(eb == 1, w[k], 1.0 - w[k])
+                    w_k = jnp.where(exact_k, w_sel, 1.0)
+                    bits.append(bit_k)
+                    weight = w_k if weight is None else weight * w_k
+                out.append((entry_from_bits(bits), weight))
+            return out
 
         def fwd_impl(params, comps, rng, max_level):
             F = self.n_features_per_level
-            entry = parts(comps, rng)
-            pair_words = self._gather_pair_words(params, entry)
+            pairs = parts(comps, rng)
             mask = None
             if max_level is not None:
                 lvl = jnp.asarray(sc["level_of"])[None, :]
                 mask = (jnp.asarray(max_level) >= lvl).astype(jnp.float32)
             out = None
-            for p in range(F // 2):
-                v0, v1 = self.unpack_words(pair_words[p])        # (N, L)
-                if mask is not None:
-                    v0 = v0 * mask
-                    v1 = v1 * mask
-                contrib = jnp.dot(
-                    v0, jnp.asarray(sc["interleave"][2 * p]),
-                    preferred_element_type=jnp.float32) \
-                    + jnp.dot(
-                    v1, jnp.asarray(sc["interleave"][2 * p + 1]),
-                    preferred_element_type=jnp.float32)
-                out = contrib if out is None else out + contrib
-            return out, entry
+            for entry, weight in pairs:
+                pair_words = self._gather_pair_words(params, entry)
+                scale = weight if mask is None else (
+                    mask if weight is None else weight * mask)
+                for p in range(F // 2):
+                    v0, v1 = self.unpack_words(pair_words[p])    # (N, L)
+                    if scale is not None:
+                        v0 = v0 * scale
+                        v1 = v1 * scale
+                    contrib = jnp.dot(
+                        v0, jnp.asarray(sc["interleave"][2 * p]),
+                        preferred_element_type=jnp.float32) \
+                        + jnp.dot(
+                        v1, jnp.asarray(sc["interleave"][2 * p + 1]),
+                        preferred_element_type=jnp.float32)
+                    out = contrib if out is None else out + contrib
+            return out, pairs
 
         @jax.custom_vjp
         def call(params, comps, rng, max_level):
             return fwd_impl(params, comps, rng, max_level)[0]
 
         def call_fwd(params, comps, rng, max_level):
-            out, entry = fwd_impl(params, comps, rng, max_level)
-            return out, (params.shape[0], entry, max_level, comps)
+            out, pairs = fwd_impl(params, comps, rng, max_level)
+            return out, (params.shape[0], pairs, max_level, comps)
 
         def call_bwd(res, g):
             F = self.n_features_per_level
-            n_params, entry, max_level, comps = res
+            n_params, pairs, max_level, comps = res
             g = g.astype(jnp.float32)                            # (N, L*F)
             mask = None
             if max_level is not None:
                 lvl = jnp.asarray(sc["level_of"])[None, :]
                 mask = (jnp.asarray(max_level) >= lvl).astype(jnp.float32)
-            flat = entry.reshape(-1)
-            gks = []
+            base_gks = []
             for k in range(F):
                 gk = jnp.dot(g, jnp.asarray(sc["interleave"][k]).T,
                              preferred_element_type=jnp.float32)
                 if mask is not None:
                     gk = gk * mask
-                gks.append(gk.reshape(-1))
+                base_gks.append(gk)                              # (N, L)
             if self.complex_grads:
                 dpc = jnp.zeros((F // 2) * self._n_words, jnp.complex64)
-                for p in range(F // 2):
-                    dpc = dpc.at[p * self._n_words + flat].add(
-                        jax.lax.complex(gks[2 * p], gks[2 * p + 1]))
+                for entry, weight in pairs:
+                    flat = entry.reshape(-1)
+                    for p in range(F // 2):
+                        g0 = base_gks[2 * p] if weight is None \
+                            else base_gks[2 * p] * weight
+                        g1 = base_gks[2 * p + 1] if weight is None \
+                            else base_gks[2 * p + 1] * weight
+                        dpc = dpc.at[p * self._n_words + flat].add(
+                            jax.lax.complex(g0.reshape(-1),
+                                            g1.reshape(-1)))
                 dpc = dpc.reshape(F // 2, self._n_words)
                 dparams = jnp.stack([dpc.real, dpc.imag],
                                     axis=1).reshape(-1)
             else:
                 dparams = jnp.zeros(n_params, jnp.float32)
-                for k in range(F):
-                    dparams = dparams.at[k * self._n_words + flat].add(
-                        gks[k])
+                for entry, weight in pairs:
+                    flat = entry.reshape(-1)
+                    for k in range(F):
+                        gk = base_gks[k] if weight is None \
+                            else base_gks[k] * weight
+                        dparams = dparams.at[
+                            k * self._n_words + flat].add(gk.reshape(-1))
             dcomps = tuple(jnp.zeros_like(c) for c in comps)
             dml = None if max_level is None else jnp.zeros_like(max_level)
             return dparams, dcomps, None, dml

@@ -225,6 +225,65 @@ def test_stochastic_corner_unbiased_forward_and_grad():
     np.testing.assert_allclose(gmean, g_exact, atol=gs * 0.08)
 
 
+def test_stochastic_exact_axes_unbiased_with_lower_variance():
+    """stochastic_exact_axes=j enumerates both endpoints along j random
+    axes (2^j descriptors): still unbiased, and per-entry variance
+    drops monotonically with j."""
+    import dataclasses
+
+    base = GridEncoding(n_dims=3, n_levels=4, n_features_per_level=2,
+                        log2_hashmap_size=8, base_resolution=4,
+                        per_level_scale=1.5)
+    params = jax.random.normal(jax.random.PRNGKey(0),
+                               (base.n_params,)) * 0.3
+    n = 96
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=0.05,
+                           maxval=0.95)
+    comps = tuple(x[:, k] for k in range(3))
+    exact = np.asarray(base.apply_components(params, comps))
+    scale = np.abs(exact).max()
+
+    reps = 2000
+    keys = jax.random.split(jax.random.PRNGKey(2), reps)
+    variances = []
+    for j in [0, 1, 2]:
+        enc = dataclasses.replace(base, stochastic_exact_axes=j)
+
+        @jax.jit
+        def stoch(rng, _enc=enc):
+            return _enc.apply_components(params, comps, rng=rng)
+
+        acc = np.zeros_like(exact)
+        acc2 = np.zeros_like(exact)
+        for i in range(0, reps, 500):
+            batch = np.asarray(jax.vmap(stoch)(keys[i:i + 500]))
+            acc += batch.sum(0)
+            acc2 += (batch * batch).sum(0)
+        mean = acc / reps
+        var = acc2 / reps - mean * mean
+        np.testing.assert_allclose(mean, exact, atol=scale * 0.1)
+        variances.append(float(var.mean()))
+    assert variances[0] > variances[1] > variances[2], variances
+    # gradient expectation for j=1 (the production NeRF setting)
+    w = np.asarray(jax.random.normal(jax.random.PRNGKey(3), exact.shape),
+                   np.float32)
+    enc1 = dataclasses.replace(base, stochastic_exact_axes=1)
+    g_exact = np.asarray(jax.grad(lambda p: jnp.sum(
+        base.apply_components(p, comps) * w))(params))
+
+    @jax.jit
+    def g_stoch(rng):
+        return jax.grad(lambda p: jnp.sum(
+            enc1.apply_components(p, comps, rng=rng) * w))(params)
+
+    gacc = np.zeros_like(g_exact)
+    for i in range(0, reps, 500):
+        gacc += np.asarray(jnp.sum(jax.vmap(g_stoch)(keys[i:i + 500]),
+                                   axis=0))
+    np.testing.assert_allclose(gacc / reps, g_exact,
+                               atol=np.abs(g_exact).max() * 0.1)
+
+
 def test_stochastic_corner_max_level_masks():
     enc = GridEncoding(n_dims=2, n_levels=4, n_features_per_level=2,
                        log2_hashmap_size=10, base_resolution=4)
