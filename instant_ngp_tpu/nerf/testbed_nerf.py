@@ -1145,7 +1145,13 @@ class NerfTestbed:
             gt_srgb = linear_to_srgb(np.asarray(gt_raw[..., :3], np.float32))
             gt_alpha = np.asarray(gt_raw[..., 3:4], np.float32)
         if downscale != 1:
-            gt_srgb = gt_srgb[::downscale, ::downscale][:h, :w]
+            # area-average, not decimation: rendered pixel i spans source
+            # block [i*ds, (i+1)*ds) and its ray passes through the block
+            # CENTER — decimation would sample source pixel i*ds instead,
+            # a (ds-1)/2-pixel misalignment that reads as blur
+            ds = downscale
+            gt_srgb = gt_srgb[:h * ds, :w * ds] \
+                .reshape(h, ds, w, ds, 3).mean(axis=(1, 3))
         # model color space: sRGB training → rendered values are sRGB
         pred = np.clip(render[..., :3], 0.0, 1.0)
         mse = float(np.mean((pred - gt_srgb) ** 2))
