@@ -70,7 +70,11 @@ def eval_nerf_views(testbed, data=None, indices: Optional[List[int]] = None,
 
         gt = gt_srgb_on_black(np.asarray(data.pixels[i])[:h0, :w0])
         if downscale != 1:
-            gt = gt[::downscale, ::downscale][:h, :w]
+            # area-average (not decimation): rendered pixel i spans the
+            # source block [i*ds,(i+1)*ds), ray through the block center
+            ds = downscale
+            gt = gt[:h * ds, :w * ds].reshape(h, ds, w, ds, 3) \
+                .mean(axis=(1, 3))
 
         mse = float(np.mean((pred - gt) ** 2))
         p = -10.0 * math.log10(max(mse, 1e-20))
