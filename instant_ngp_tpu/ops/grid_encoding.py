@@ -101,6 +101,13 @@ class GridEncoding(Encoding):
     # stochastic variance. Trades descriptor count against estimator
     # noise — see _build_stochastic_call.
     stochastic_exact_axes: int = 0
+    # with stochastic_exact_axes > 0: scatter the table gradient at ONE
+    # fully-Bernoulli corner (weight 1) instead of at every enumerated
+    # forward corner — still unbiased (the Bernoulli distribution IS the
+    # d-linear weight), halving/quartering backward scatter descriptors;
+    # gradient noise is better tolerated than forward noise (Adam
+    # momentum averages it across steps).
+    stochastic_bwd: bool = False
 
     def __post_init__(self):
         assert self.n_dims in (2, 3), "grid encoding supports 2D and 3D inputs"
@@ -188,6 +195,7 @@ class GridEncoding(Encoding):
             interpolation=config.get("interpolation", "Linear"),
             dtype=dtype,
             stochastic_exact_axes=config.get("stochastic_exact_axes", 0),
+            stochastic_bwd=config.get("stochastic_bwd", False),
         )
 
     # ------------------------------------------------------------------
@@ -648,7 +656,8 @@ class GridEncoding(Encoding):
                 return (offset + idx).astype(jnp.int32)
 
             if j_exact == 0:
-                return [(entry_from_bits(bern), None)]
+                e = entry_from_bits(bern)
+                return [(e, None)], e
 
             # choose which axes are exact, per (sample, level): pick a
             # uniformly random axis a; j=1 -> a is exact; j=2 (d=3) ->
@@ -677,11 +686,13 @@ class GridEncoding(Encoding):
                     bits.append(bit_k)
                     weight = w_k if weight is None else weight * w_k
                 out.append((entry_from_bits(bits), weight))
-            return out
+            bwd_entry = entry_from_bits(bern) if self.stochastic_bwd \
+                else None
+            return out, bwd_entry
 
         def fwd_impl(params, comps, rng, max_level):
             F = self.n_features_per_level
-            pairs = parts(comps, rng)
+            pairs, bwd_entry = parts(comps, rng)
             mask = None
             if max_level is not None:
                 lvl = jnp.asarray(sc["level_of"])[None, :]
@@ -703,7 +714,11 @@ class GridEncoding(Encoding):
                         v1, jnp.asarray(sc["interleave"][2 * p + 1]),
                         preferred_element_type=jnp.float32)
                     out = contrib if out is None else out + contrib
-            return out, pairs
+            if self.stochastic_bwd and bwd_entry is not None:
+                scatter_pairs = [(bwd_entry, None)]
+            else:
+                scatter_pairs = pairs
+            return out, scatter_pairs
 
         @jax.custom_vjp
         def call(params, comps, rng, max_level):

@@ -284,6 +284,43 @@ def test_stochastic_exact_axes_unbiased_with_lower_variance():
                                atol=np.abs(g_exact).max() * 0.1)
 
 
+def test_stochastic_bwd_gradient_unbiased():
+    """stochastic_bwd: forward uses the axis-exact corners, the table
+    gradient scatters at ONE Bernoulli corner — still unbiased."""
+    import dataclasses
+
+    base = GridEncoding(n_dims=3, n_levels=4, n_features_per_level=2,
+                        log2_hashmap_size=8, base_resolution=4,
+                        per_level_scale=1.5)
+    enc = dataclasses.replace(base, stochastic_exact_axes=1,
+                              stochastic_bwd=True)
+    params = jax.random.normal(jax.random.PRNGKey(0),
+                               (base.n_params,)) * 0.3
+    n = 96
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=0.05,
+                           maxval=0.95)
+    comps = tuple(x[:, k] for k in range(3))
+    exact = np.asarray(base.apply_components(params, comps))
+    w = np.asarray(jax.random.normal(jax.random.PRNGKey(3), exact.shape),
+                   np.float32)
+    g_exact = np.asarray(jax.grad(lambda p: jnp.sum(
+        base.apply_components(p, comps) * w))(params))
+
+    @jax.jit
+    def g_stoch(rng):
+        return jax.grad(lambda p: jnp.sum(
+            enc.apply_components(p, comps, rng=rng) * w))(params)
+
+    reps = 2000
+    keys = jax.random.split(jax.random.PRNGKey(2), reps)
+    gacc = np.zeros_like(g_exact)
+    for i in range(0, reps, 500):
+        gacc += np.asarray(jnp.sum(jax.vmap(g_stoch)(keys[i:i + 500]),
+                                   axis=0))
+    np.testing.assert_allclose(gacc / reps, g_exact,
+                               atol=np.abs(g_exact).max() * 0.1)
+
+
 def test_stochastic_corner_max_level_masks():
     enc = GridEncoding(n_dims=2, n_levels=4, n_features_per_level=2,
                        log2_hashmap_size=10, base_resolution=4)
