@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--scene",
                     default="/root/reference/data/nerf/fox/transforms.json")
     ap.add_argument("--milestones", type=int, nargs="*",
-                    default=[64, 128, 256, 512, 1024, 2048])
+                    default=[64, 128, 256, 512, 1024, 1536, 2048])
     ap.add_argument("--eval-views", type=int, nargs="*", default=[0, 30])
     ap.add_argument("--eval-spp", type=int, default=1)
     # downscale 4 keeps the eval inside two cached 65k-ray tile
