@@ -126,13 +126,16 @@ class NerfTestbed:
         # used automatically whenever camera/distortion optimization
         # needs spatial input gradients, and always at render time.
         self.stochastic_corners = True
-        # coarse-to-fine variance schedule: the 1-corner estimator's
-        # feature noise costs converged quality (measured ~4 dB on the
-        # synthetic test scene at 600 steps), so after this step the
-        # training encode switches to the exact d-linear path and the
-        # remaining steps polish at full precision. None = never switch.
-        # The switch recompiles the train program once (cached per flag).
-        self.stochastic_corners_until: Optional[int] = 1024
+        # coarse-to-fine variance schedule: after this step the training
+        # encode switches to the exact d-linear path (None = never).
+        # With the base config's axis-exact forward + stochastic
+        # backward (stochastic_exact_axes=1 + stochastic_bwd, see
+        # ops/grid_encoding.py) the cheap estimator already matches
+        # exact-encode quality (synthetic scene @3000 steps: 26.91 dB
+        # all-stochastic vs 26.45 switching at 1024 — the pure 1-corner
+        # j=0 estimator, by contrast, plateaus ~4 dB low), so the
+        # default never switches. Set a step for j=0-style configs.
+        self.stochastic_corners_until: Optional[int] = None
 
         # density-update sample counts; None = reference cadence
         # (all cells for the first 256 steps, then 1/4 + 1/4)
