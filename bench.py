@@ -105,8 +105,13 @@ def bench_image(queue):
 
 def bench_image_cpu(queue):
     # last resort when the tunneled TPU is wedged: same image benchmark
-    # on the host CPU backend so the driver still gets a real number
+    # on the host CPU backend so the driver still gets a real number.
+    # The env var alone does NOT stick (a site hook force-selects the
+    # tunneled platform) — jax.config must be set before backend init.
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     bench_image(queue)
 
 
