@@ -130,7 +130,29 @@ def run_with_watchdog(fn, timeout_s):
         return None
 
 
+def tpu_probe(queue):
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128))
+    (x @ x).block_until_ready()
+    queue.put({"ok": jax.default_backend()})
+
+
 def main():
+    # pre-flight: when the tunnel is dead outright (measured 2026-08-18:
+    # the relay process can die and every dispatch hangs forever), skip
+    # the TPU stages instead of burning ~25 min of watchdog timeouts
+    if run_with_watchdog(tpu_probe, timeout_s=90) is None:
+        result = run_with_watchdog(bench_image_cpu, timeout_s=300)
+        if result is not None:
+            result["metric"] += "_cpu_fallback"
+        else:
+            result = {"metric": "bench_failed", "value": 0,
+                      "unit": "samples/s/chip", "vs_baseline": 0.0}
+        print(json.dumps(result))
+        return
+
     result = run_with_watchdog(bench_nerf, timeout_s=540)
     if result is None:
         # the tunneled TPU wedges a single process's stream for ~20 min
