@@ -53,7 +53,7 @@ def nerf_demo(full: bool):
         tb.impl.n_march = 192
         tb.impl.max_samples_per_ray = 64
         tb.impl.density_samples_override = 1 << 17
-    tb.train(64 if not full else 2000)
+    tb.train(512 if not full else 2000)
     print(f"   loss: {tb.loss:.5f}")
     from instant_ngp_tpu.data.images import write_image
 
