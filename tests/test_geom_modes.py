@@ -325,6 +325,48 @@ def test_camera_path_spline_and_io(tmp_path):
                                atol=1e-6)
 
 
+def test_camera_path_video_frames(tmp_path):
+    """render_video writes one PNG per path frame through a real NeRF
+    render and returns the frames dir when ffmpeg is absent
+    (run.py:304-338 equivalent)."""
+    import os
+
+    from test_nerf_training import CFG, make_dataset
+
+    from instant_ngp_tpu.camera_path import (CameraKeyframe, CameraPath,
+                                             render_video)
+    from instant_ngp_tpu.nerf.testbed_nerf import NerfTestbed
+
+    tb = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
+    tb.target_batch_size = 1 << 10
+    tb.rays_per_batch = 256
+    tb.n_march = 64
+    tb.max_samples_per_ray = 16
+    tb.density_samples_override = 1 << 10
+    tb.train(3)
+
+    cp = CameraPath()
+    cp.resolution = (32, 18)
+    cp.spp = 1
+    cp.fps = 3.0
+    cp.duration_seconds = 1.0
+    for i in range(2):
+        m = np.asarray(tb.data.xforms_start[i], np.float32)
+        cp.keyframes.append(CameraKeyframe.from_matrix(m, fov=40))
+
+    class _Facade:
+        mode = None
+
+        def render(self, w, h, spp=1, camera_matrix=None, **kw):
+            return tb.render_frame(w, h, camera_matrix, spp=spp)
+
+    out = render_video(_Facade(), cp, str(tmp_path / "vid"))
+    frames = sorted(os.listdir(tmp_path / "vid"))
+    pngs = [f for f in frames if f.endswith(".png")]
+    assert len(pngs) == cp.n_frames()
+    assert pngs[0] == "frame_00000.png"
+
+
 # ---------------------------------------------------------------------------
 # FLIP
 # ---------------------------------------------------------------------------
