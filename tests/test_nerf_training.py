@@ -139,6 +139,36 @@ def test_sampler_segments_are_consistent():
         assert (seg == r).all()
 
 
+def test_derived_n_march_is_lane_aligned_and_covers_span():
+    """n_march derivation: lane-aligned multiple of 128 (NOT a power of
+    two — it never adapts, so pow2 bought no recompile bound and only
+    inflated the (R, n_march) planes), bounded to [128, 1024], and large
+    enough for the sampled worst-case stepping span."""
+    import jax.numpy as jnp
+
+    from instant_ngp_tpu.nerf.march import (ray_intersect_aabb,
+                                            to_stepping_space)
+    from instant_ngp_tpu.nerf.sampler import build_rays
+
+    tb = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
+    m = tb._derive_n_march()
+    assert m % 128 == 0 and 128 <= m <= 1024
+    # sampled span must fit (the derivation adds a 10% + 32 margin)
+    lo = jnp.asarray(tb.scene.aabb_min)
+    hi = jnp.asarray(tb.scene.aabb_max)
+    uv = jnp.full((tb.data.n_images, 2), 0.5)
+    idx = jnp.arange(tb.data.n_images)
+    o, d, ok = build_rays(tb.data, idx, uv, jnp.zeros(idx.shape[0]),
+                          tb.scene.lens_mode)
+    tmin, tmax = ray_intersect_aabb(o, d, lo, hi)
+    cone = tb.scene.cone_angle_constant
+    span = jnp.where(ok & (tmax > jnp.maximum(tmin, 0.0)),
+                     to_stepping_space(tmax, cone)
+                     - to_stepping_space(jnp.maximum(tmin, 0.0), cone),
+                     0.0)
+    assert m >= float(jnp.max(span)) or m == 1024
+
+
 def test_depth_major_compaction_sheds_deep_tail_uniformly():
     """order="depth" (render path): when capacity truncates, every ray
     keeps its EARLY samples and only the deep tail is shed — the
