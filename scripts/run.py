@@ -60,11 +60,19 @@ def parse_args():
     p.add_argument("--mode", default="",
                    help="force a testbed mode (nerf/sdf/image/volume/"
                         "geometry; reference --Geometry flag equivalent)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (this environment "
+                        "force-selects the tunneled TPU via a site hook, "
+                        "so the JAX_PLATFORMS env var alone won't stick)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from instant_ngp_tpu.common import TestbedMode
     from instant_ngp_tpu.testbed import Testbed
 
