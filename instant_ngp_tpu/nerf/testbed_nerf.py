@@ -1174,8 +1174,12 @@ class NerfTestbed:
         aabb_min = np.asarray(aabb[0] if aabb else self.scene.aabb_min)
         aabb_max = np.asarray(aabb[1] if aabb else self.scene.aabb_max)
         params = self.inference_params()
-        lin = np.linspace(0, 1, resolution, dtype=np.float32)
-        out = np.empty((resolution, resolution, resolution), np.float32)
+        rx, ry, rz = ((resolution,) * 3 if np.isscalar(resolution)
+                      else tuple(int(v) for v in resolution))
+        lin = np.linspace(0, 1, rx, dtype=np.float32)
+        liny = np.linspace(0, 1, ry, dtype=np.float32)
+        linz = np.linspace(0, 1, rz, dtype=np.float32)
+        out = np.empty((rx, ry, rz), np.float32)
 
         @jax.jit
         def density_fn(pos_world):
@@ -1189,14 +1193,38 @@ class NerfTestbed:
             return jnp.where(grid_d < NERF_MIN_OPTICAL_THICKNESS,
                              -10000.0, raw)
 
-        for ix in range(resolution):
-            plane = np.stack(np.meshgrid(lin[ix:ix + 1], lin, lin,
+        for ix in range(rx):
+            plane = np.stack(np.meshgrid(lin[ix:ix + 1], liny, linz,
                                          indexing="ij"), -1
                              ).reshape(-1, 3)
             pos = plane * (aabb_max - aabb_min) + aabb_min
             out[ix] = np.asarray(density_fn(jnp.asarray(pos))).reshape(
-                resolution, resolution)
+                ry, rz)
         return out
+
+    def compute_and_save_png_slices(self, filename: str,
+                                    resolution: int = 256, aabb=None,
+                                    thresh: Optional[float] = None,
+                                    density_range: float = 4.0,
+                                    flip_y_and_z_axes: bool = False):
+        """Write the raw-density slice-atlas PNG next to `filename`
+        (compute_and_save_png_slices, testbed.cu:534-558; atlas layout
+        save_density_grid_to_png, marching_cubes.cu:957-1034). Returns
+        the per-axis grid resolution baked into the file name."""
+        from ..geom.marching import (marching_cubes_res,
+                                     save_density_slices_png)
+
+        aabb_min = np.asarray(aabb[0] if aabb else self.scene.aabb_min)
+        aabb_max = np.asarray(aabb[1] if aabb else self.scene.aabb_max)
+        if thresh is None:
+            thresh = 2.5          # m_mesh.thresh default (testbed.h)
+        res3d = marching_cubes_res(resolution, aabb_min, aabb_max)
+        field = self.density_on_grid(res3d, aabb=(aabb_min, aabb_max))
+        out = (f"{filename}.density_slices_"
+               f"{res3d[0]}x{res3d[1]}x{res3d[2]}.png")
+        save_density_slices_png(out, field, float(thresh), density_range,
+                                flip_y_and_z_axes)
+        return res3d
 
     def compute_marching_cubes_mesh(self, resolution: int = 128,
                                     thresh: float = 2.5, aabb=None):

@@ -440,6 +440,53 @@ class SdfTestbed:
         union = np.sum(pred_inside | gt_inside)
         return float(intersection) / max(float(union), 1.0)
 
+    def compute_and_save_png_slices(self, filename: str,
+                                    resolution: int = 256, aabb=None,
+                                    thresh: Optional[float] = None,
+                                    density_range: float = 4.0,
+                                    flip_y_and_z_axes: bool = False,
+                                    ground_truth: bool = False):
+        """Signed-distance slice-atlas PNG (SDF branch of
+        compute_and_save_png_slices, testbed.cu:534-558): the AABB is
+        inflated by `density_range` output voxels, the range rescales to
+        voxel units and negates so black = outside, white = inside.
+        `ground_truth` samples the mesh BVH instead of the network
+        (render_ground_truth branch). Returns the per-axis resolution."""
+        from ..geom.marching import (marching_cubes_res,
+                                     save_density_slices_png)
+
+        aabb_min = np.asarray(aabb[0] if aabb else self.aabb_min,
+                              np.float64).copy()
+        aabb_max = np.asarray(aabb[1] if aabb else self.aabb_max,
+                              np.float64).copy()
+        if thresh is None:
+            thresh = 0.0          # SDF-mode m_mesh.thresh (testbed_sdf.cu:1145)
+        res3d = marching_cubes_res(resolution, aabb_min, aabb_max)
+        inflate = density_range * (aabb_max[0] - aabb_min[0]) / res3d[0]
+        aabb_min -= inflate
+        aabb_max += inflate
+        res3d = marching_cubes_res(resolution, aabb_min, aabb_max)
+        rng = -density_range * (aabb_max[0] - aabb_min[0]) / res3d[0]
+
+        params = self.trainer.inference_params(self.state)
+        lins = [np.linspace(lo, hi, r, dtype=np.float32)
+                for lo, hi, r in zip(aabb_min, aabb_max, res3d)]
+        field = np.empty(res3d, np.float32)
+        for ix in range(res3d[0]):
+            pos = np.stack(np.meshgrid(lins[0][ix:ix + 1], lins[1],
+                                       lins[2], indexing="ij"),
+                           -1).reshape(-1, 3)
+            if ground_truth:
+                d = self.bvh.signed_distance(pos, self.mesh_sdf_mode)
+            else:
+                d = np.asarray(self.distance(params, jnp.asarray(pos)))
+            field[ix] = d.reshape(res3d[1], res3d[2])
+        out = (f"{filename}.density_slices_"
+               f"{res3d[0]}x{res3d[1]}x{res3d[2]}.png")
+        save_density_slices_png(out, field, float(thresh), rng,
+                                flip_y_and_z_axes)
+        return res3d
+
     # ------------------------------------------------------------------
     def save_snapshot(self, path: str) -> None:
         from ..data.snapshot import save_snapshot

@@ -252,6 +252,19 @@ class Testbed:
         """(verts, faces, colors) from the NeRF density field."""
         return self.impl.compute_marching_cubes_mesh(resolution, thresh)
 
+    def compute_and_save_png_slices(self, filename: str,
+                                    resolution: int = 256, aabb=None,
+                                    thresh=None, density_range: float = 4.0,
+                                    flip_y_and_z_axes: bool = False):
+        """Slice-atlas PNG of the density/SDF field written next to
+        `filename` (compute_and_save_png_slices, testbed.cu:534-558,
+        bound in python_api.cu:451). Returns the (x, y, z) grid
+        resolution encoded in the output file name."""
+        return self.impl.compute_and_save_png_slices(
+            filename, resolution=resolution, aabb=aabb, thresh=thresh,
+            density_range=density_range,
+            flip_y_and_z_axes=flip_y_and_z_axes)
+
     def save_mesh(self, path: str, resolution: int = 128,
                   thresh: float = 2.5) -> None:
         from .geom.marching import save_mesh, vertex_normals
