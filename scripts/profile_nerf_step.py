@@ -23,18 +23,30 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timed(fn, *args, iters=8):
+def _sync(out):
+    # force a REAL device->host readback of one element: on the tunneled
+    # 'axon' platform block_until_ready returns without waiting (measured
+    # 2026-08-19: a 16M-descriptor gather "completed" in 0.08 ms), so the
+    # only trustworthy fence is materializing a value on the host.
+    import numpy as np
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
+def timed(fn, *args, iters=8):
+    """Pipelined timing: enqueue `iters` dispatches back-to-back, fence
+    once at the end. Device work serializes, so total/iters is the true
+    per-dispatch device time with the tunnel round-trip (~31 ms)
+    amortized to <4 ms of noise."""
     out = fn(*args)
-    jax.block_until_ready(out)
-    samples = []
+    _sync(out)
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
-        samples.append((time.perf_counter() - t0) * 1e3)
-    return statistics.median(samples)
+    _sync(out)
+    return (time.perf_counter() - t0) * 1e3 / iters
 
 
 def main():
