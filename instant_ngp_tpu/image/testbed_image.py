@@ -99,8 +99,12 @@ class ImageTestbed:
         # image fitting is a high-precision regression: corner noise
         # costs ~15 dB at convergence (albert quarter-res @1000 steps:
         # 25.0 dB stochastic vs 40.6 exact; 256 stochastic + 744 exact
-        # recovers 39.5). Default: cheap stochastic warmup, then exact.
-        self.stochastic_corners_until = 256
+        # recovers 39.5 — walkthrough_out/variance_schedule_ab.json).
+        # Default: cheap stochastic warmup, then exact. The schedule
+        # ships in the config zoo (configs/image/base.json) so snapshots
+        # and config round-trips preserve it.
+        self.stochastic_corners_until = network_config.get(
+            "encoding", {}).get("stochastic_corners_until", 256)
 
     # ------------------------------------------------------------------
     # target fetch — eval_image_kernel_and_snap (testbed_image.cu:164-222)
@@ -293,11 +297,17 @@ class ImageTestbed:
         save_snapshot(path, {
             "mode": self.mode.value,
             "config": self.config,
+            "grid_layout": getattr(self.model.encoding, "layout", "planar"),
             "trainer": self.state,
             "training_step": self.training_step,
             "image_resolution": [self.width, self.height],
         })
 
     def load_snapshot_state(self, snapshot: Dict[str, Any]) -> None:
-        self.state = jax.tree_util.tree_map(jnp.asarray, snapshot["trainer"])
+        state = jax.tree_util.tree_map(jnp.asarray, snapshot["trainer"])
+        enc = self.model.encoding
+        if hasattr(enc, "convert_state_layout"):
+            state = enc.convert_state_layout(
+                state, snapshot.get("grid_layout", "planar"))
+        self.state = state
         self.training_step = int(snapshot.get("training_step", 0))

@@ -17,12 +17,16 @@ Semantics kept from tcnn's encodings/grid.h:
 - `max_level` masks levels above the given index to zero features (and
   hence zero gradient) for coarse-to-fine schedules.
 
-The per-level loop is the semantic reference; the fused path (and its
-packed bf16-pair fast mode, see the class docstring) implements the same
-contract with one gather descriptor per (sample, level, corner) — on
-TPU v5e gathers cost per DESCRIPTOR (~130M/s), which makes descriptor
-count, not bytes, the unit of cost for this op (measured round 2; see
-ops/pallas/__init__.py for why a hand-written kernel cannot beat this).
+The per-level loop is the semantic reference; the fused paths implement
+the same contract with minimal DESCRIPTOR traffic — on TPU the
+gather/scatter cost unit is the descriptor, not bytes (measured rounds
+2-3; see ops/pallas/__init__.py for why a hand kernel cannot beat XLA's
+issue rate). The round-3 default is the ROW-GATHER design (`row_gather`
+docstring): the table is entry-interleaved so one 128-lane row
+descriptor moves ALL F features of a (sample, level, corner), forward
+(gather + lane select, ~173M fetches/s vs 105M flat) and backward
+(one-hot row scatter-add, 2.3x the flat rate) — measured in
+walkthrough_out/microbench_gather_r3.json.
 """
 
 from __future__ import annotations
@@ -81,18 +85,23 @@ class GridEncoding(Encoding):
     interpolation: str = "Linear"     # Linear | Smoothstep | Nearest
     dtype: Any = jnp.float32
     packed: bool = True
-    # complex64 scatter-add for the table gradient: feature pair
-    # (2p, 2p+1) accumulates as ONE complex element (real/imag are two
-    # exact f32 adds), halving backward scatter DESCRIPTORS — the unit
-    # of gather/scatter cost on TPU v5e (see module docstring). Exact:
-    # bit-identical sums per component. Flipped on after TPU validation.
-    complex_grads: bool = False
-    # complex64 packed TABLE for F % 4 == 0: the real word bit-packs
-    # features (4q, 4q+1) as bf16, the imag word (4q+2, 4q+3) — ONE
-    # forward gather descriptor per (sample, level[, corner]) and
-    # feature QUAD instead of per pair. Same bf16 forward precision as
-    # `packed`. Flipped on after TPU validation.
-    complex_table: bool = False
+    # ROW-GATHER mode (default on when F divides 128): the table is
+    # stored ENTRY-INTERLEAVED (feature k of entry e at flat e*F + k)
+    # and every fetch/deposit moves a whole 128-lane ROW. Measured on
+    # TPU v5e (walkthrough_out/microbench_gather_r3.json): a row gather
+    # runs ~306M rows/s vs ~105M elements/s flat (~173M/s including the
+    # F-feature lane select), and a one-hot row scatter-add deposits ALL
+    # F feature gradients of an entry in ONE descriptor at 2.3x the
+    # flat-scatter rate. So one descriptor serves a whole (sample,
+    # level, corner) in both directions — the forward also returns to
+    # full f32 feature precision (no bf16 packing needed).
+    #
+    # complex64 packings were the round-2 candidate for the same goal
+    # and are REMOVED after TPU measurement refuted them
+    # (walkthrough_out/ab_c64_r3.json: c64 gather = 2 f32 descriptors,
+    # c64 scatter-add ~11x slower — XLA decomposes complex into
+    # real/imag pairs on TPU).
+    row_gather: bool = True
     # stochastic-corner training encode: along this many RANDOMLY-chosen
     # axes per (sample, level) the interpolation is computed exactly
     # (both endpoints gathered and weighted); the rest are
@@ -144,13 +153,19 @@ class GridEncoding(Encoding):
         self._scales = np.asarray(scales, np.float64)
         self._resolutions = np.asarray(resolutions, np.int64)
         self._hashed = np.asarray(hashed, bool)
-        # PLANAR parameter layout: feature k of entry e lives at
-        # params[k * n_words + e] (one contiguous plane per feature).
-        # tcnn interleaves features per entry; planar keeps every
-        # per-feature view a CONTIGUOUS slice, which makes the packed
-        # bf16-pair table (pack_params) three elementwise ops instead of
-        # two stride-2 gathers — measured 113 ms -> ~1 ms per call on
-        # TPU v5e for the 14M-param NeRF table.
+        # row-gather needs whole rows of F-interleaved features
+        self._row_mode = bool(self.row_gather) \
+            and 128 % self.n_features_per_level == 0
+        self._row_chunk = 1 << 22  # rows per gather/scatter chunk (2 GB)
+        # Parameter layout (n_params is layout-independent):
+        # - row mode (default): INTERLEAVED like tcnn — feature k of
+        #   entry e at params[e * F + k], so one 128-lane row holds
+        #   128/F whole entries and one row gather fetches all F
+        #   features of an entry (see row_gather docstring).
+        # - planar (row_gather=False fallback): feature k of entry e at
+        #   params[k * n_words + e]; keeps per-feature views contiguous
+        #   so the packed bf16-pair table (pack_params) is elementwise
+        #   (measured 113 ms -> ~1 ms vs stride-2 gathers on TPU v5e).
         self._n_words = int(offset)
         self._total_params = int(offset) * self.n_features_per_level
 
@@ -203,16 +218,61 @@ class GridEncoding(Encoding):
     def n_params(self) -> int:
         return self._total_params
 
+    @property
+    def layout(self) -> str:
+        """Flat-parameter permutation: 'interleaved' (row mode) or
+        'planar'. Same vector length either way; convert_layout maps
+        between them (snapshots record the tag)."""
+        return "interleaved" if self._row_mode else "planar"
+
+    def convert_layout(self, params: jax.Array, src: str) -> jax.Array:
+        """Convert a flat params/moment vector from layout `src` to this
+        encoding's current layout (used by snapshot load)."""
+        if src == self.layout:
+            return params
+        f = self.n_features_per_level
+        w = self._n_words
+        if src == "planar":   # (F planes of w) -> entry-interleaved
+            return jnp.stack([params[k * w:(k + 1) * w]
+                              for k in range(f)], axis=1).reshape(-1)
+        # interleaved -> planar
+        m = params.reshape(w, f)
+        return jnp.concatenate([m[:, k] for k in range(f)])
+
+    def convert_state_layout(self, state, src: str,
+                             keys=("pos_encoding", "encoding")):
+        """Convert every grid-table leaf (params AND optimizer moments,
+        identified by dict key) in a trainer-state pytree from layout
+        `src` to the current layout. Used by snapshot load so planar-era
+        snapshots stay loadable after the row-mode default flip."""
+        if src == self.layout:
+            return state
+
+        def walk(node, under_grid=False):
+            if isinstance(node, dict):
+                return {k: walk(v, under_grid or k in keys)
+                        for k, v in node.items()}
+            if under_grid and hasattr(node, "shape") \
+                    and np.prod(node.shape) == self._total_params:
+                return self.convert_layout(
+                    jnp.asarray(node).reshape(-1), src)
+            return node
+
+        return walk(state)
+
     def init(self, key: jax.Array) -> jax.Array:
         # tcnn grid default init: U(-1e-4, 1e-4)
         return jax.random.uniform(key, (self._total_params,), jnp.float32,
                                   -1e-4, 1e-4)
 
     def level_params(self, params: jax.Array, level: int) -> jax.Array:
-        """The (size_l, F) parameter slice of one level (planar layout)."""
+        """The (size_l, F) parameter slice of one level."""
         f = self.n_features_per_level
         start = int(self._offsets[level])
         size = int(self._sizes[level])
+        if self._row_mode:   # interleaved: entries contiguous
+            block = params[start * f:(start + size) * f]
+            return block.reshape(size, f)
         w = self._n_words
         cols = [params[k * w + start:k * w + start + size]
                 for k in range(f)]
@@ -420,35 +480,118 @@ class GridEncoding(Encoding):
                 jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32))
         return words[0] if len(words) == 1 else jnp.concatenate(words)
 
-    def pack_params_c64(self, params: jax.Array) -> jax.Array:
-        """(total,) f32 master -> (total/4,) c64 words for F % 4 == 0:
-        quad q of entry e lives at [q*n_words + e]; real bit-packs
-        features (4q, 4q+1) as bf16, imag (4q+2, 4q+3)."""
-        w = self.pack_params(params)
-        nw = self._n_words
-        quads = []
-        for q in range(self.n_features_per_level // 4):
-            re = w[(2 * q) * nw:(2 * q + 1) * nw]
-            im = w[(2 * q + 1) * nw:(2 * q + 2) * nw]
-            quads.append(jax.lax.complex(re, im))
-        return quads[0] if len(quads) == 1 else jnp.concatenate(quads)
-
     def _gather_pair_words(self, params: jax.Array, entry: jax.Array):
         """Gather the packed bf16-pair words of every feature pair at
-        `entry`: returns a list of F//2 arrays shaped like entry. With
-        complex_table (F % 4 == 0), one c64 descriptor fetches TWO pair
-        words (real/imag) — half the forward descriptors."""
+        `entry`: returns a list of F//2 arrays shaped like entry."""
         f = self.n_features_per_level
-        if self.complex_table and f % 4 == 0:
-            packed_c = self.pack_params_c64(params)
-            words = []
-            for q in range(f // 4):
-                wc = packed_c[q * self._n_words + entry]
-                words.append(jnp.real(wc))
-                words.append(jnp.imag(wc))
-            return words
         packed = self.pack_params(params)
         return [packed[p * self._n_words + entry] for p in range(f // 2)]
+
+    # ---- row-gather fast path (see row_gather docstring) ----
+
+    def _row_table(self, params: jax.Array) -> jax.Array:
+        """(total,) interleaved master -> (rows, 128) view, padded to a
+        whole number of rows (the pad is one dense elementwise copy —
+        ~0.1 ms for the 17M-param NeRF table, vs the 100s of ms the
+        per-descriptor gathers cost)."""
+        total = params.shape[0]
+        pad = (-total) % 128
+        if pad:
+            params = jnp.pad(params, (0, pad))
+        return params.reshape(-1, 128)
+
+    def _row_gather_features(self, params: jax.Array, entry: jax.Array):
+        """entry (any shape, global ENTRY index) -> list of F f32 arrays
+        shaped like entry. ONE gather descriptor per entry fetches the
+        128-lane row holding it; the F features are lane-selected from
+        the row (measured 173M fetches/s including the select vs 105M/s
+        per flat element — microbench_gather_r3.json).
+
+        Large batches run the chunks under lax.map: the row payload is
+        128x the selected features, so letting XLA hoist independent
+        chunk gathers materializes ALL (chunk, 128) buffers at once
+        (observed: a 278 GB allocation on the 134M-fetch render path);
+        lax.map pins peak memory to one chunk."""
+        f = self.n_features_per_level
+        epr = 128 // f
+        table = self._row_table(params)
+        flat = entry.reshape(-1)
+        n = flat.shape[0]
+        chunk = self._row_chunk
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def select(e):
+            rows = table[e // epr]                              # (c, 128)
+            off = ((e % epr) * f)[:, None]
+            return jnp.stack(
+                [jnp.sum(jnp.where(lanes == off + k, rows, 0.0), axis=-1)
+                 for k in range(f)])                            # (F, c)
+
+        if n <= chunk:
+            feats = select(flat)                                # (F, n)
+        else:
+            n_chunks = (n + chunk - 1) // chunk
+            pad = n_chunks * chunk - n
+            ec = jnp.pad(flat, (0, pad)).reshape(n_chunks, chunk)
+            out = jax.lax.map(select, ec)                 # (nc, F, chunk)
+            feats = jnp.transpose(out, (1, 0, 2)).reshape(f, -1)[:, :n]
+        return [feats[k].reshape(entry.shape) for k in range(f)]
+
+    def _row_scatter_add(self, acc2d: jax.Array, entry: jax.Array, gs):
+        """Accumulate per-feature gradients gs (list of F arrays shaped
+        like entry) at `entry` into the (rows, 128) accumulator: each
+        entry deposits ONE one-hot 128-lane row carrying all F feature
+        grads (measured 2.3x the flat-scatter rate at the train-step
+        operating point — microbench_gather_r3.json). Chunks run under
+        fori_loop so one (chunk, 128) update buffer exists at a time."""
+        f = self.n_features_per_level
+        epr = 128 // f
+        flat = entry.reshape(-1)
+        gflat = [g.reshape(-1) for g in gs]
+        n = flat.shape[0]
+        chunk = self._row_chunk
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def deposit(acc, e, gks):
+            off = ((e % epr) * f)[:, None]
+            rows = None
+            for k in range(f):
+                r = jnp.where(lanes == off + k, gks[k][:, None], 0.0)
+                rows = r if rows is None else rows + r
+            return acc.at[e // epr].add(rows)
+
+        if n <= chunk:
+            return deposit(acc2d, flat, gflat)
+        n_chunks = (n + chunk - 1) // chunk
+        pad = n_chunks * chunk - n
+        ec = jnp.pad(flat, (0, pad)).reshape(n_chunks, chunk)
+        # zero-padded gradients make the tail updates no-op row adds
+        gc = [jnp.pad(g, (0, pad)).reshape(n_chunks, chunk) for g in gflat]
+
+        def body(i, acc):
+            return deposit(acc, ec[i], [g[i] for g in gc])
+
+        return jax.lax.fori_loop(0, n_chunks, body, acc2d)
+
+    def _row_acc_init(self) -> jax.Array:
+        rows = (self._total_params + 127) // 128
+        return jnp.zeros((rows, 128), jnp.float32)
+
+    def _row_acc_finish(self, acc2d: jax.Array) -> jax.Array:
+        return acc2d.reshape(-1)[:self._total_params]
+
+    def _fetch_feats(self, params: jax.Array, entry: jax.Array):
+        """List of F f32 feature arrays at `entry`. Row mode: ONE row
+        descriptor per entry (f32 precision). Planar packed: one
+        bf16-pair word per two features."""
+        if self._row_mode:
+            return self._row_gather_features(params, entry)
+        words = self._gather_pair_words(params, entry)
+        feats = []
+        for w in words:
+            v0, v1 = self.unpack_words(w)
+            feats += [v0, v1]
+        return feats
 
     @staticmethod
     def unpack_words(words: jax.Array):
@@ -504,36 +647,21 @@ class GridEncoding(Encoding):
             # dweight = sum_k g_k * vals_k for the input gradient
             flat = entry.reshape(-1)
             dweight = None
-            if self.complex_grads:
-                # one c64 scatter per feature PAIR: real/imag carry the
-                # two planes' f32 adds — half the descriptors
-                dpc = jnp.zeros((f // 2) * self._n_words, jnp.complex64)
-            else:
-                dparams = jnp.zeros(n_params, jnp.float32)
+            dparams = jnp.zeros(n_params, jnp.float32)
             for p in range(f // 2):
                 r0 = jnp.asarray(fc["reduce_feat"][2 * p])
                 r1 = jnp.asarray(fc["reduce_feat"][2 * p + 1])
                 g0 = jnp.dot(g, r0.T, preferred_element_type=jnp.float32)
                 g1 = jnp.dot(g, r1.T, preferred_element_type=jnp.float32)
-                if self.complex_grads:
-                    dpc = dpc.at[p * self._n_words + flat].add(
-                        jax.lax.complex((g0 * weight).reshape(-1),
-                                        (g1 * weight).reshape(-1)))
-                else:
-                    dparams = dparams.at[(2 * p) * self._n_words
-                                         + flat].add(
-                        (g0 * weight).reshape(-1))
-                    dparams = dparams.at[(2 * p + 1) * self._n_words
-                                         + flat].add(
-                        (g1 * weight).reshape(-1))
+                dparams = dparams.at[(2 * p) * self._n_words
+                                     + flat].add(
+                    (g0 * weight).reshape(-1))
+                dparams = dparams.at[(2 * p + 1) * self._n_words
+                                     + flat].add(
+                    (g1 * weight).reshape(-1))
                 v0, v1 = self.unpack_words(words_all[p])
                 dw = g0 * v0 + g1 * v1                       # (N, LC)
                 dweight = dw if dweight is None else dweight + dw
-            if self.complex_grads:
-                # pair p real -> plane 2p, imag -> plane 2p+1 (planar)
-                dpc = dpc.reshape(f // 2, self._n_words)
-                dparams = jnp.stack([dpc.real, dpc.imag],
-                                    axis=1).reshape(-1)
 
             # input gradient:
             # dx_d = sum_lc dweight * (dw_sel_d/dx_d) * prod_{j!=d} w_sel_j
@@ -549,6 +677,75 @@ class GridEncoding(Encoding):
                     pe = jnp.ones_like(dweight)
                 if max_level is not None:
                     # weight carried the coarse-to-fine mask; replicate it
+                    lvl = jnp.asarray(fc["level_of"])[None, :]
+                    pe = pe * (jnp.asarray(max_level) >= lvl)
+                dx = jnp.sum(dweight * aux["dwsel_dx"][k] * pe, axis=1)
+                dcomps.append(dx.astype(comps[k].dtype))
+            dml = None if max_level is None else jnp.zeros_like(max_level)
+            return dparams, tuple(dcomps), dml
+
+        call.defvjp(call_fwd, call_bwd)
+        return call
+
+    def _build_row_call(self):
+        """Exact d-linear encode on the row-gather path: custom VJP with
+        ONE row descriptor per (sample, level, corner) in BOTH
+        directions — the forward lane-selects all F features from the
+        gathered row (full f32 precision, no bf16 packing), the backward
+        deposits all F feature grads as one one-hot row scatter-add.
+        Input gradients (camera optimization, Normals rendering, mesh
+        refinement) are the same hand-derived d-linear terms as the
+        packed path."""
+        fc = self._fused_constants()
+        f = self.n_features_per_level
+        d = self.n_dims
+
+        def fwd_impl(params, comps, max_level):
+            entry, weight, _ = self._fused_parts(comps, max_level)
+            feats = self._row_gather_features(params, entry)  # F x (N,LC)
+            out = None
+            for k in range(f):
+                contrib = jnp.dot(feats[k] * weight,
+                                  jnp.asarray(fc["reduce_feat"][k]),
+                                  preferred_element_type=jnp.float32)
+                out = contrib if out is None else out + contrib
+            return out, tuple(feats)
+
+        @jax.custom_vjp
+        def call(params, comps, max_level):
+            return fwd_impl(params, comps, max_level)[0]
+
+        def call_fwd(params, comps, max_level):
+            out, feats = fwd_impl(params, comps, max_level)
+            return out, (comps, max_level, feats)
+
+        def call_bwd(res, g):
+            comps, max_level, feats = res
+            entry, weight, aux = self._fused_parts(comps, max_level,
+                                                   need_grads=True)
+            g = g.astype(jnp.float32)                        # (N, L*F)
+            gks, dweight = [], None
+            for k in range(f):
+                gk = jnp.dot(g, jnp.asarray(fc["reduce_feat"][k]).T,
+                             preferred_element_type=jnp.float32)
+                gks.append(gk * weight)
+                dw = gk * feats[k]
+                dweight = dw if dweight is None else dweight + dw
+            dparams = self._row_acc_finish(self._row_scatter_add(
+                self._row_acc_init(), entry, gks))
+
+            # input gradient (same math as the packed path)
+            w_sel = aux["w_sel"]
+            dcomps = []
+            for k in range(d):
+                pe = None                                    # prod except k
+                for j in range(d):
+                    if j == k:
+                        continue
+                    pe = w_sel[j] if pe is None else pe * w_sel[j]
+                if pe is None:
+                    pe = jnp.ones_like(dweight)
+                if max_level is not None:
                     lvl = jnp.asarray(fc["level_of"])[None, :]
                     pe = pe * (jnp.asarray(max_level) >= lvl)
                 dx = jnp.sum(dweight * aux["dwsel_dx"][k] * pe, axis=1)
@@ -699,19 +896,13 @@ class GridEncoding(Encoding):
                 mask = (jnp.asarray(max_level) >= lvl).astype(jnp.float32)
             out = None
             for entry, weight in pairs:
-                pair_words = self._gather_pair_words(params, entry)
+                feats = self._fetch_feats(params, entry)         # F x (N, L)
                 scale = weight if mask is None else (
                     mask if weight is None else weight * mask)
-                for p in range(F // 2):
-                    v0, v1 = self.unpack_words(pair_words[p])    # (N, L)
-                    if scale is not None:
-                        v0 = v0 * scale
-                        v1 = v1 * scale
+                for k in range(F):
+                    v = feats[k] if scale is None else feats[k] * scale
                     contrib = jnp.dot(
-                        v0, jnp.asarray(sc["interleave"][2 * p]),
-                        preferred_element_type=jnp.float32) \
-                        + jnp.dot(
-                        v1, jnp.asarray(sc["interleave"][2 * p + 1]),
+                        v, jnp.asarray(sc["interleave"][k]),
                         preferred_element_type=jnp.float32)
                     out = contrib if out is None else out + contrib
             if self.stochastic_bwd and bwd_entry is not None:
@@ -743,21 +934,15 @@ class GridEncoding(Encoding):
                 if mask is not None:
                     gk = gk * mask
                 base_gks.append(gk)                              # (N, L)
-            if self.complex_grads:
-                dpc = jnp.zeros((F // 2) * self._n_words, jnp.complex64)
+            if self._row_mode:
+                # one one-hot row deposit per (sample, level) corner
+                # carries all F feature grads (2.3x the flat rate)
+                acc = self._row_acc_init()
                 for entry, weight in pairs:
-                    flat = entry.reshape(-1)
-                    for p in range(F // 2):
-                        g0 = base_gks[2 * p] if weight is None \
-                            else base_gks[2 * p] * weight
-                        g1 = base_gks[2 * p + 1] if weight is None \
-                            else base_gks[2 * p + 1] * weight
-                        dpc = dpc.at[p * self._n_words + flat].add(
-                            jax.lax.complex(g0.reshape(-1),
-                                            g1.reshape(-1)))
-                dpc = dpc.reshape(F // 2, self._n_words)
-                dparams = jnp.stack([dpc.real, dpc.imag],
-                                    axis=1).reshape(-1)
+                    gs = [gk if weight is None else gk * weight
+                          for gk in base_gks]
+                    acc = self._row_scatter_add(acc, entry, gs)
+                dparams = self._row_acc_finish(acc)
             else:
                 dparams = jnp.zeros(n_params, jnp.float32)
                 for entry, weight in pairs:
@@ -785,16 +970,24 @@ class GridEncoding(Encoding):
         128-lane width) instead of 3, which would tile-pad 42x.
 
         `rng`: when given (training only), use the stochastic-corner
-        estimator — one gather per (sample, level, feature-pair) instead
-        of per corner — see _build_stochastic_call. Requires packed mode
-        (even F)."""
+        estimator — one fetch per (sample, level, enumerated corner)
+        instead of per 2^d corners — see _build_stochastic_call.
+        Requires row mode or packed mode (even F)."""
         f = self.n_features_per_level
-        if rng is not None and self.packed and f % 2 == 0:
+        stoch_ok = self._row_mode or (self.packed and f % 2 == 0)
+        if rng is not None and stoch_ok:
             if getattr(self, "_stoch_call", None) is None:
                 self._stoch_call = self._build_stochastic_call()
             ml = None if max_level is None \
                 else jnp.asarray(max_level, jnp.float32)
             out = self._stoch_call(params, tuple(comps), rng, ml)
+            return out.astype(self.dtype)
+        if self._row_mode:
+            if getattr(self, "_row_call", None) is None:
+                self._row_call = self._build_row_call()
+            ml = None if max_level is None \
+                else jnp.asarray(max_level, jnp.float32)
+            out = self._row_call(params, tuple(comps), ml)
             return out.astype(self.dtype)
         if self.packed and f % 2 == 0:
             if getattr(self, "_packed_call", None) is None:

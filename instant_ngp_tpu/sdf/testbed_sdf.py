@@ -68,6 +68,9 @@ class SdfTestbed:
 
         self.config = network_config
         enc_cfg = network_config.get("encoding", {})
+        if "stochastic_corners_until" in enc_cfg:
+            self.stochastic_corners_until = \
+                enc_cfg["stochastic_corners_until"]
         self.triangle_octree = None
         if enc_cfg.get("otype") == "Takikawa":
             # octree-feature encoding over the mesh surface
@@ -186,7 +189,10 @@ class SdfTestbed:
     # fewer gather/scatter descriptors on TPU; no-op for octree configs).
     # SDF fitting is a precision regression like image mode, so the
     # coarse-to-fine schedule switches to the exact d-linear encode
-    # after stochastic_corners_until steps (None = never).
+    # after stochastic_corners_until steps (None = never; armadillo IoU
+    # 0.155 all-stochastic vs 0.296 scheduled —
+    # walkthrough_out/variance_schedule_ab.json). __init__ overrides
+    # from the config zoo (configs/sdf/base.json).
     stochastic_corners = True
     stochastic_corners_until = 256
 
@@ -494,6 +500,7 @@ class SdfTestbed:
         save_snapshot(path, {
             "mode": self.mode.value,
             "config": self.config,
+            "grid_layout": getattr(self.model.encoding, "layout", "planar"),
             "trainer": self.state,
             "training_step": self.training_step,
             "mesh_scale": self.mesh_scale,
@@ -501,5 +508,10 @@ class SdfTestbed:
         })
 
     def load_snapshot_state(self, snapshot: Dict[str, Any]) -> None:
-        self.state = jax.tree_util.tree_map(jnp.asarray, snapshot["trainer"])
+        state = jax.tree_util.tree_map(jnp.asarray, snapshot["trainer"])
+        enc = self.model.encoding
+        if hasattr(enc, "convert_state_layout"):
+            state = enc.convert_state_layout(
+                state, snapshot.get("grid_layout", "planar"))
+        self.state = state
         self.training_step = int(snapshot.get("training_step", 0))

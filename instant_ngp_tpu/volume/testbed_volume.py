@@ -150,6 +150,11 @@ class VolumeTestbed:
 
         self._train_fn = None
         self._train_n = None
+        # variance schedule (see _stoch_now); shipped in the config zoo
+        # (configs/volume/base.json) so config round-trips preserve it
+        self.stochastic_corners = True
+        self.stochastic_corners_until = network_config.get(
+            "encoding", {}).get("stochastic_corners_until", 256)
 
     # ------------------------------------------------------------------
     def _gt_density(self, pos: jax.Array, key: jax.Array) -> jax.Array:
@@ -402,11 +407,17 @@ class VolumeTestbed:
         save_snapshot(path, {
             "mode": self.mode.value,
             "config": self.config,
+            "grid_layout": getattr(self.model.encoding, "layout", "planar"),
             "trainer": self.state,
             "training_step": self.training_step,
             "global_majorant": self.global_majorant,
         })
 
     def load_snapshot_state(self, snapshot: Dict[str, Any]) -> None:
-        self.state = jax.tree_util.tree_map(jnp.asarray, snapshot["trainer"])
+        state = jax.tree_util.tree_map(jnp.asarray, snapshot["trainer"])
+        enc = self.model.encoding
+        if hasattr(enc, "convert_state_layout"):
+            state = enc.convert_state_layout(
+                state, snapshot.get("grid_layout", "planar"))
+        self.state = state
         self.training_step = int(snapshot.get("training_step", 0))

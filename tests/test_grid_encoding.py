@@ -388,35 +388,70 @@ def test_f4_stochastic_unbiased():
     np.testing.assert_allclose(acc / reps, exact, atol=scale * 0.1)
 
 
-def test_complex_grads_bit_exact():
-    """complex64 pair-scatter backward (one descriptor per feature PAIR)
-    and the c64-packed quad table forward (F % 4 == 0) must be
-    bit-identical to the plain paths, packed-exact and stochastic."""
+def test_row_mode_matches_planar():
+    """The row-gather path (entry-interleaved layout, one 128-lane row
+    descriptor per (sample, level, corner) — the default after the r3
+    TPU microbench, walkthrough_out/microbench_gather_r3.json) must
+    reproduce the planar unpacked f32 path: same forward values, same
+    table gradient (as a set of fp32 adds — scatter order may differ),
+    same input gradients."""
     import dataclasses
 
-    for F in (2, 4):
-        enc = GridEncoding(n_dims=3, n_levels=6, n_features_per_level=F,
+    for F in (1, 2, 4):
+        row = GridEncoding(n_dims=3, n_levels=6, n_features_per_level=F,
                            log2_hashmap_size=12, base_resolution=4,
-                           per_level_scale=1.7, complex_grads=True,
-                           complex_table=(F % 4 == 0))
-        ref = dataclasses.replace(enc, complex_grads=False,
-                                  complex_table=False)
+                           per_level_scale=1.7)
+        assert row._row_mode and row.layout == "interleaved"
+        ref = dataclasses.replace(row, row_gather=False, packed=False)
+        assert ref.layout == "planar"
         k = jax.random.PRNGKey(0)
-        params = enc.init(k)
+        params_p = jax.random.normal(jax.random.fold_in(k, 9),
+                                     (ref.n_params,)) * 0.3
+        params_r = row.convert_layout(params_p, "planar")
+        # layout conversion round-trips
+        back = ref.convert_layout(
+            np.asarray(params_r).reshape(-1),  # interleaved vector
+            "interleaved")
+        np.testing.assert_array_equal(np.asarray(back),
+                                      np.asarray(params_p))
+
         x = jax.random.uniform(jax.random.fold_in(k, 1), (512, 3))
+        out_r = np.asarray(row.apply(params_r, x))
+        out_p = np.asarray(ref.apply(params_p, x))
+        np.testing.assert_allclose(out_r, out_p, rtol=1e-6, atol=1e-7)
 
-        def table_grad(e, rng=None):
-            def f(p):
-                if rng is None:
-                    out = e.apply(p, x)
-                else:
-                    out = e.apply_components(
-                        p, [x[:, i] for i in range(3)], rng=rng)
-                return jnp.sum(jnp.sin(out * 3.0))
-            return jax.grad(f)(params)
+        # table gradient (converted back to planar for comparison)
+        def table_grad(e, p):
+            return jax.grad(lambda pp: jnp.sum(
+                jnp.sin(e.apply(pp, x) * 3.0)))(p)
 
-        xs = jax.random.uniform(jax.random.fold_in(k, 2), (64, 3))
-        assert jnp.array_equal(enc.apply(params, xs), ref.apply(params, xs))
-        assert jnp.array_equal(table_grad(enc), table_grad(ref))
-        srng = jax.random.PRNGKey(7)
-        assert jnp.array_equal(table_grad(enc, srng), table_grad(ref, srng))
+        g_r = ref.convert_layout(table_grad(row, params_r), "interleaved")
+        g_p = table_grad(ref, params_p)
+        gs = float(np.abs(np.asarray(g_p)).max())
+        np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_p),
+                                   atol=max(gs, 1.0) * 1e-6)
+
+        # input gradients (camera-opt / Normals path)
+        def in_grad(e, p):
+            return jax.grad(lambda xx: jnp.sum(
+                e.apply(p, xx) ** 2))(x)
+
+        np.testing.assert_allclose(np.asarray(in_grad(row, params_r)),
+                                   np.asarray(in_grad(ref, params_p)),
+                                   rtol=1e-4, atol=1e-5)
+
+        # stochastic estimator: same RNG -> same corner choices; the row
+        # fetch is f32 so it matches the planar-packed path to bf16
+        # quantization only — check against itself for determinism and
+        # against packed within tolerance (F even only)
+        if F % 2 == 0:
+            srng = jax.random.PRNGKey(7)
+            packed = dataclasses.replace(row, row_gather=False,
+                                         packed=True)
+            comps = [x[:, i] for i in range(3)]
+            o_row = np.asarray(row.apply_components(params_r, comps,
+                                                    rng=srng))
+            o_pk = np.asarray(packed.apply_components(params_p, comps,
+                                                      rng=srng))
+            scale = max(float(np.abs(o_pk).max()), 1e-6)
+            np.testing.assert_allclose(o_row, o_pk, atol=scale * 8e-3)
