@@ -70,7 +70,8 @@ def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
     # round by target_n_queries=2M, testbed_nerf.cu:1697-1698) — the
     # network never evaluates tile*max_k mostly-padding samples
     samples = compact_samples(rays, ts, dts, emits, aabb_min, aabb_max,
-                              cfg.sample_capacity, order="depth")
+                              cfg.sample_capacity, order="depth",
+                              cone_angle=cfg.cone_angle)
 
     extra_flat = None
     if extra_dims is not None:

@@ -259,7 +259,8 @@ def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
                     emits: jax.Array, aabb_min, aabb_max,
                     capacity: int,
                     extra_dims: Optional[jax.Array] = None,
-                    order: str = "ray") -> SampleBatch:
+                    order: str = "ray",
+                    cone_angle: Optional[float] = None) -> SampleBatch:
     """Prefix-sum compaction of the (R, n_march) candidate grid into
     (capacity,) flat buffers.
 
@@ -273,10 +274,13 @@ def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
     not meaningful in this order (count still reports kept samples/ray).
 
     Random-access traffic is ONE index scatter (R*M elements) + ONE
-    source-index gather per derived field on the compacted (capacity,)
-    domain — everything else (positions, dirs, warps) is recomputed
-    arithmetically from (ray_id, t), instead of scattering nine separate
-    (R*M,) value planes."""
+    t gather + ONE packed per-ray row gather on the compacted
+    (capacity,) domain — everything else (dt, positions, dirs, warps)
+    is recomputed arithmetically from (ray_id, t), instead of
+    scattering nine separate (R*M,) value planes. The per-ray origin+
+    direction ride one (R, 8) row so a single descriptor fetches all
+    six components (rows8 ~172M/s vs 6 flat gathers at ~105M/s each —
+    microbench_gather_r3.json); dt = calc_dt(t) replaces its gather."""
     n_rays, n_march = emits.shape
     e = emits.astype(jnp.int32)
     count = jnp.sum(e, axis=1)                                 # (R,)
@@ -303,12 +307,21 @@ def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
 
     ray_id = src_c // n_march                                  # (S,)
     t_flat = ts.reshape(-1)[src_c]
-    dt_flat = warp_dt(dts.reshape(-1)[src_c])
+    if cone_angle is not None:
+        # dt is a pure function of t: recompute instead of gathering
+        # (bit-identical to the march's dts plane, one fewer S-gather)
+        dt_flat = warp_dt(calc_dt(t_flat, cone_angle))
+    else:
+        dt_flat = warp_dt(dts.reshape(-1)[src_c])
 
     o, d = rays.origins, rays.dirs
     span = aabb_max - aabb_min
-    o_r = [o[ray_id, k] for k in range(3)]
-    d_r = [d[ray_id, k] for k in range(3)]
+    # one (R, 8) row per ray: a single gather descriptor per sample
+    # fetches origin AND direction (vs six scalar gathers)
+    od = jnp.concatenate([o, d, jnp.zeros((n_rays, 2), o.dtype)], axis=1)
+    od_r = od[ray_id]                                          # (S, 8)
+    o_r = [od_r[:, k] for k in range(3)]
+    d_r = [od_r[:, 3 + k] for k in range(3)]
     positions = tuple((o_r[k] + t_flat * d_r[k] - aabb_min[k]) / span[k]
                       for k in range(3))
     dirs = tuple((d_r[k] + 1.0) * 0.5 for k in range(3))

@@ -135,7 +135,10 @@ class NerfTestbed:
         # all-stochastic vs 26.45 switching at 1024 — the pure 1-corner
         # j=0 estimator, by contrast, plateaus ~4 dB low), so the
         # default never switches. Set a step for j=0-style configs.
-        self.stochastic_corners_until: Optional[int] = None
+        # Overridable from the config zoo ("stochastic_corners_until"
+        # inside the encoding dict) so snapshots preserve the schedule.
+        self.stochastic_corners_until: Optional[int] = network_config.get(
+            "encoding", {}).get("stochastic_corners_until", None)
 
         # density-update sample counts; None = reference cadence
         # (all cells for the first 256 steps, then 1/4 + 1/4)
@@ -161,6 +164,11 @@ class NerfTestbed:
         # and environments with pathological per-dispatch latency.
         self.steps_per_dispatch = 1
 
+        # training color semantics (nerf.h: random_bg_color default true,
+        # linear_colors default false; --nerf_compatibility flips bg off)
+        self.random_bg_color = True
+        self.train_in_linear_colors = False
+
         # camera optimization (nerf.h:88-110 defaults)
         self.optimize_extrinsics = False
         self.optimize_focal_length = False
@@ -183,6 +191,27 @@ class NerfTestbed:
         self._cam_grad_accum = None
         self._exposure_grad_accum = None
         self._n_steps_since_cam_update = 0
+
+        # per-image learnable latents ("extra dims"): trained whenever
+        # the dataset declares n_extra_learnable_dims (reference
+        # optimize_extra_dims default, testbed_nerf.cu:2177; per-step
+        # VarAdam at the MODEL optimizer's current lr :2593-2595). The
+        # Adam update runs device-side via a TrainableBuffer on the same
+        # optimizer config, so no host sync is added.
+        self.optimize_extra_dims = self.scene.n_extra_dims > 0
+        self._extra_dims_buf = None
+        if self.data.extra_dims is not None:
+            from ..ops.trainable_buffer import TrainableBuffer
+
+            self._extra_dims_buf = TrainableBuffer(
+                tuple(self.data.extra_dims.shape),
+                network_config["optimizer"],
+                init_value=self.data.extra_dims)
+        # render-time latents (reference Nerf::get_rendering_extra_dims,
+        # testbed_nerf.cu:3206-3266): a training view's latent (default
+        # view 0) or an explicitly set vector
+        self.rendering_extra_dims_from_training_view = 0
+        self._rendering_extra_dims = None
 
         # trained envmap + lens-distortion map (reset_network wiring:
         # envmap testbed.cu:3850-3865, distortion :3781-3792)
@@ -255,9 +284,13 @@ class NerfTestbed:
             density_activation=self.scene.density_activation,
             loss_type=self.loss_type,
             near_distance=self.scene.near_distance,
+            random_bg_color=self.random_bg_color,
+            train_in_linear_colors=self.train_in_linear_colors,
             optimize_camera=(self.optimize_extrinsics
                              or self.optimize_focal_length),
             optimize_exposure=self.optimize_exposure,
+            optimize_extra_dims=(self.optimize_extra_dims
+                                 and self.data.extra_dims is not None),
             use_error_map=self.use_error_map_sampling,
             error_map_res=self._error_map_res,
             stochastic_corners=self._stoch_now(),
@@ -266,9 +299,11 @@ class NerfTestbed:
     def _get_train_fn(self, n_rays: int, max_k: int):
         key = (n_rays, max_k, self.optimize_extrinsics,
                self.optimize_focal_length, self.optimize_exposure,
+               self.optimize_extra_dims,
                self.train_envmap, self.optimize_distortion,
                self._error_cdfs is not None, self._error_map_res,
-               self._stoch_now())
+               self.random_bg_color, self.train_in_linear_colors,
+               self._stoch_now())  # stoch flag last (tests key on it)
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)
             aabb_min = jnp.asarray(self.scene.aabb_min)
@@ -344,7 +379,8 @@ class NerfTestbed:
                         else em
                     out = {k: stats[k] for k in
                            ("loss", "measured_batch_size",
-                            "measured_batch_size_before_compaction")}
+                            "measured_batch_size_before_compaction",
+                            "fused") if k in stats}
                     return (new_st, grid, bf, mean, em2), out
 
                 if prep_mode == "lead":
@@ -695,8 +731,22 @@ class NerfTestbed:
                 else None)
             self.training_step += 1
             pending.append(stats)
+            if "fused" in stats:
+                # start the (4,)-vector D2H now; it overlaps the queued
+                # compute so the 16-step sync read finds it already
+                # on the host (16 bytes/step — negligible traffic)
+                try:
+                    stats["fused"].copy_to_host_async()
+                except Exception:
+                    pass
 
             # device-side (async) consumers of this step's outputs
+            if "extra_dims_gradient" in stats \
+                    and self._extra_dims_buf is not None:
+                # per-step Adam at the model optimizer's lr (reference
+                # testbed_nerf.cu:2593-2595) — fully on device
+                self._extra_dims_buf.step(stats["extra_dims_gradient"])
+                self.data.extra_dims = self._extra_dims_buf.params
             if "envmap_gradient" in stats:
                 self.envmap.step(stats["envmap_gradient"])
             if "distortion_gradient" in stats:
@@ -731,21 +781,37 @@ class NerfTestbed:
         return self.loss_scalar
 
     def _sync_stats(self, pending) -> None:
-        """Block once on a batch of steps' stats; adapt from the latest."""
+        """Block once on a batch of steps' stats; adapt from the latest.
+
+        Reads the ONE fused (4,) stats vector (loss, measured, measured
+        pre-compaction, n_rays) in a single D2H transfer — four separate
+        scalar reads each cost a full tunnel round trip (BENCH_r02:
+        ~25% of wall time in train_sync). The train loop kicks off
+        copy_to_host_async on the vector at dispatch time, so by the
+        time this blocks the transfer has usually already landed."""
         import time as _time
 
         if not pending:
             return
         stats = pending[-1]
-        measured = int(stats["measured_batch_size"])
-        measured_pre = int(stats["measured_batch_size_before_compaction"])
+        if "fused" in stats:
+            vec = np.asarray(stats["fused"])
+            loss_v = float(vec[0])
+            measured = int(vec[1])
+            measured_pre = int(vec[2])
+            n_rays_stat = int(vec[3])
+        else:
+            loss_v = float(stats["loss"])
+            measured = int(stats["measured_batch_size"])
+            measured_pre = int(
+                stats["measured_batch_size_before_compaction"])
+            n_rays_stat = int(stats.get("n_rays", self.rays_per_batch))
         if measured == 0:
             self.loss_scalar = 0.0
             raise RuntimeError(
                 "NeRF training generated 0 samples; aborting "
                 "(reference testbed_nerf.cu:2516-2520)")
-        self.loss_scalar = float(stats["loss"]) * measured \
-            / self.target_batch_size
+        self.loss_scalar = loss_v * measured / self.target_batch_size
         self.loss_ema.update(self.loss_scalar)
         self.measured_batch_size = measured
         self.measured_batch_size_before_compaction = measured_pre
@@ -755,7 +821,7 @@ class NerfTestbed:
         steps_done = self.training_step - self._steps_at_last_sync
         if self._last_sync_t is not None and steps_done > 0:
             dt = max(now - self._last_sync_t, 1e-9)
-            n_rays_used = int(stats.get("n_rays", self.rays_per_batch))
+            n_rays_used = n_rays_stat
             self.steps_per_s.update(steps_done / dt)
             self.samples_per_s.update(steps_done * measured / dt)
             self.rays_per_s.update(steps_done * n_rays_used / dt)
@@ -852,8 +918,37 @@ class NerfTestbed:
     # ------------------------------------------------------------------
     # rendering
     # ------------------------------------------------------------------
-    def _get_render_fn(self, tile: int, mode: str, min_transmittance: float):
-        key = (tile, mode, min_transmittance)
+    def set_rendering_extra_dims_from_training_view(self, trainview: int):
+        """Render with training view `trainview`'s latent code
+        (Nerf::set_rendering_extra_dims_from_training_view,
+        testbed_nerf.cu:3246-3256)."""
+        if not (0 <= trainview < self.data.n_images):
+            raise ValueError(f"invalid training view {trainview}")
+        self.rendering_extra_dims_from_training_view = trainview
+        self._rendering_extra_dims = None
+
+    def set_rendering_extra_dims(self, vals):
+        """Render with an explicit latent vector (:3258-3266)."""
+        vals = np.asarray(vals, np.float32).reshape(-1)
+        if vals.size != self.scene.n_extra_dims:
+            raise ValueError(
+                f"expected {self.scene.n_extra_dims} extra dims")
+        self.rendering_extra_dims_from_training_view = -1
+        self._rendering_extra_dims = vals
+
+    def get_rendering_extra_dims(self):
+        """The active render-time latent (n_extra,) or None
+        (Nerf::get_rendering_extra_dims, testbed_nerf.cu:3206-3220)."""
+        if self.data.extra_dims is None:
+            return None
+        view = self.rendering_extra_dims_from_training_view
+        if view >= 0:
+            return self.data.extra_dims[view]
+        return jnp.asarray(self._rendering_extra_dims)
+
+    def _get_render_fn(self, tile: int, mode: str, min_transmittance: float,
+                       has_extra: bool = False):
+        key = (tile, mode, min_transmittance, has_extra)
         if not hasattr(self, "_render_fns"):
             self._render_fns = {}
         if key not in self._render_fns:
@@ -880,9 +975,10 @@ class NerfTestbed:
             aabb_min = jnp.asarray(self.scene.aabb_min)
             aabb_max = jnp.asarray(self.scene.aabb_max)
 
-            def fn(params, origins, dirs, bitfield, bg):
+            def fn(params, origins, dirs, bitfield, bg, extra=None):
                 return render_tile(self.model, cfg, params, origins, dirs,
-                                   bitfield, aabb_min, aabb_max, bg)
+                                   bitfield, aabb_min, aabb_max, bg,
+                                   extra_dims=extra)
 
             self._render_fns[key] = jax.jit(fn)
         return self._render_fns[key]
@@ -898,7 +994,8 @@ class NerfTestbed:
                      use_distortion_map: bool = False,
                      aperture_size: float = 0.0,
                      focus_z: float = 1.0,
-                     use_envmap_background: Optional[bool] = None
+                     use_envmap_background: Optional[bool] = None,
+                     extra_dims=None,
                      ) -> np.ndarray:
         """Render a frame; returns (H, W, 4) linear float32.
 
@@ -915,7 +1012,13 @@ class NerfTestbed:
         use_envmap_background: composite the trained/loaded envmap behind
         the scene, per-ray by direction (render_nerf,
         testbed_nerf.cu:1862-1866). Defaults to on whenever an envmap is
-        being trained."""
+        being trained.
+
+        extra_dims: per-frame latent override; defaults to the active
+        rendering extra dims (a training view's trained latent, view 0
+        unless set_rendering_extra_dims* changed it — the reference
+        conditions every render on these, get_rendering_extra_dims at
+        render_nerf, testbed_nerf.cu:1848)."""
         from ..ops.sampling import ld_pixel_offset
         from .render import camera_rays_for_frame
 
@@ -940,8 +1043,14 @@ class NerfTestbed:
                 lens_mode=lens_mode, lens_params=lens_params,
                 distortion_map=dist_map))
 
+        if extra_dims is None:
+            extra_dims = self.get_rendering_extra_dims()
+        elif not hasattr(extra_dims, "shape"):
+            extra_dims = jnp.asarray(extra_dims, jnp.float32)
+
         params = self.inference_params()
-        fn = self._get_render_fn(tile, render_mode, min_transmittance)
+        fn = self._get_render_fn(tile, render_mode, min_transmittance,
+                                 has_extra=extra_dims is not None)
         bg_const = jnp.broadcast_to(
             jnp.asarray(background_color, jnp.float32), (tile, 3))
 
@@ -1000,7 +1109,7 @@ class NerfTestbed:
                 bg = bg_const if env_params is None else \
                     self._env_bg_fn(env_params, d_tile, bg_const)
                 out = fn(params, o[i:i + tile], d_tile,
-                         self.bitfield, bg)
+                         self.bitfield, bg, extra_dims)
                 rgbs.append(out["rgb"])
                 alphas.append(out["alpha"])
                 depths.append(out["depth"])
@@ -1029,13 +1138,18 @@ class NerfTestbed:
         # always rasterizes eval views with the per-frame lens —
         # testbed_nerf.cu:1855 render_with_lens_distortion); a pinhole
         # render of an OpenCV-lens capture like fox misaligns pixels
+        extra = None
+        if self.data.extra_dims is not None:
+            # the view's own trained latent conditions its eval render
+            extra = self.data.extra_dims[img_idx]
         return self.render_frame(
             width, height, cam, fl, spp=spp,
             min_transmittance=min_transmittance,
             background_color=background_color,
             lens_mode=self.scene.lens_mode,
             lens_params=np.asarray(self.data.lens_params[img_idx]),
-            screen_center=np.asarray(self.data.principal_points[img_idx]))
+            screen_center=np.asarray(self.data.principal_points[img_idx]),
+            extra_dims=extra)
 
     def render_density_slice(self, resolution: int = 256,
                              plane_z: float = 0.5) -> np.ndarray:
@@ -1275,6 +1389,8 @@ class NerfTestbed:
         save_snapshot(path, {
             "mode": self.mode.value,
             "config": self.config,
+            "grid_layout": getattr(self.model.pos_encoding, "layout",
+                                   "planar"),
             "trainer": self.state,
             "density_grid": self.density_grid,
             "training_step": self.training_step,
@@ -1287,12 +1403,22 @@ class NerfTestbed:
                 "focal_offset": self.cam_focal_offset,
                 "exposures": self.data.exposures,
             },
+            # trained per-image latents (reference saves the per-image
+            # optimizer states, testbed.cu:4793-4795)
+            "extra_dims": (None if self._extra_dims_buf is None
+                           else self._extra_dims_buf.state),
             "envmap": self.envmap.state["params"],
             "distortion_map": self.distortion_map.state["params"],
         })
 
     def load_snapshot_state(self, snapshot: Dict[str, Any]) -> None:
-        self.state = jax.tree_util.tree_map(jnp.asarray, snapshot["trainer"])
+        state = jax.tree_util.tree_map(jnp.asarray, snapshot["trainer"])
+        enc = self.model.pos_encoding
+        if hasattr(enc, "convert_state_layout"):
+            # planar-era snapshots permute into the current layout
+            state = enc.convert_state_layout(
+                state, snapshot.get("grid_layout", "planar"))
+        self.state = state
         self.density_grid = jnp.asarray(snapshot["density_grid"])
         self.training_step = int(snapshot.get("training_step", 0))
         self.density_grid_ema_step = int(
@@ -1310,6 +1436,11 @@ class NerfTestbed:
             self.cam_focal_offset = np.asarray(cam["focal_offset"],
                                                np.float32)
             self.data.exposures = jnp.asarray(cam["exposures"])
+            extra = snapshot.get("extra_dims")
+            if extra is not None and self._extra_dims_buf is not None:
+                self._extra_dims_buf.state = jax.tree_util.tree_map(
+                    jnp.asarray, extra)
+                self.data.extra_dims = self._extra_dims_buf.params
         if "envmap" in snapshot:
             self.envmap.state["params"] = jnp.asarray(snapshot["envmap"])
         if "distortion_map" in snapshot:

@@ -217,6 +217,7 @@ class NerfTrainStepConfig(NamedTuple):
     max_level_rand_training: bool = False
     optimize_camera: bool = False      # extrinsics+focal gradient outputs
     optimize_exposure: bool = False
+    optimize_extra_dims: bool = False  # per-image latent gradient outputs
     use_error_map: bool = False        # importance sampling + accumulation
     error_map_res: Any = (0, 0)        # (W_c, H_c) of the error map
     # one sampled grid corner per (sample, level) instead of 2^d — an
@@ -260,7 +261,8 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
                                 cfg.cone_angle, cfg.max_mip, cfg.n_march,
                                 cfg.max_samples_per_ray)
     samples = compact_samples(rays, ts, dts, emits, aabb_min, aabb_max,
-                              cfg.sample_capacity)
+                              cfg.sample_capacity,
+                              cone_angle=cfg.cone_angle)
 
     if cfg.random_bg_color:
         bg = jax.random.uniform(k_bg, (cfg.n_rays, 3))
@@ -268,10 +270,8 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
         bg = jnp.zeros((cfg.n_rays, 3))
     bg = _srgb_to_linear(bg)
 
-    extra_flat = None
-    if data.extra_dims is not None:
-        # per-sample latent: gather via the sample's source ray's image
-        extra_flat = data.extra_dims[rays.img_idx[samples.ray_id]]
+    sample_img = rays.img_idx[samples.ray_id] \
+        if data.extra_dims is not None else None
 
     depth_target = None
     if cfg.depth_supervision_lambda > 0 and data.depths is not None:
@@ -290,6 +290,14 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
         aux_vars["cam"] = cam
     if cfg.optimize_exposure:
         aux_vars["exposure"] = base_exposure
+    if cfg.optimize_extra_dims and data.extra_dims is not None:
+        # per-image learnable latents (reference trains them with a
+        # per-image VarAdam(1e-4) every step, testbed_nerf.cu:2577-2598
+        # + compute_extra_dims_gradient_train_nerf :1271; here the
+        # gradient rides stats and the host Adam applies it on the same
+        # 16-step cadence as the camera variables — the async-dispatch
+        # adaptation used for all host-optimized variables)
+        aux_vars["extra"] = data.extra_dims
     if envmap is not None:
         aux_vars["envmap"] = envmap
     if distortion is not None:
@@ -316,6 +324,10 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
                 (dirs[samples.ray_id, k] + 1.0) * 0.5 for k in range(3))
         else:
             positions, dirs_warped = samples.positions, samples.dirs
+        extra_flat = None
+        if sample_img is not None:
+            # per-sample latent: gather via the sample's source image
+            extra_flat = aux.get("extra", data.extra_dims)[sample_img]
         enc_rng = k_enc if (cfg.stochastic_corners and not rebuild) else None
         raw = model.apply_components(params, positions, dirs_warped,
                                      extra_flat, encode_rng=enc_rng)
@@ -371,10 +383,21 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
                 stats["measured_batch_size_before_compaction"], axis_name),
             "n_rays": jax.lax.psum(stats["n_rays"], axis_name),
         }
+    # one fused (4,) stats vector so the host's 16-step sync is a SINGLE
+    # D2H readback instead of four scalar round trips (each round trip
+    # through the tunneled backend costs 100s of ms; BENCH_r02 measured
+    # ~25% of bench wall time in train_sync)
+    stats["fused"] = jnp.stack([
+        stats["loss"].astype(jnp.float32),
+        stats["measured_batch_size"].astype(jnp.float32),
+        stats["measured_batch_size_before_compaction"].astype(jnp.float32),
+        stats["n_rays"].astype(jnp.float32)])
     if "cam" in aux_grads:
         stats["cam_gradient"] = aux_grads["cam"]
     if "exposure" in aux_grads:
         stats["exposure_gradient"] = aux_grads["exposure"]
+    if "extra" in aux_grads:
+        stats["extra_dims_gradient"] = aux_grads["extra"]
     if "envmap" in aux_grads:
         stats["envmap_gradient"] = aux_grads["envmap"]
     if "distortion" in aux_grads:

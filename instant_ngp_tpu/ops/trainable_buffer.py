@@ -40,8 +40,14 @@ class TrainableBuffer:
                                                self.state["params"])
 
     def step(self, gradient: jax.Array) -> None:
-        new_params, new_opt = self.optimizer.step(
-            self.state["opt"], self.state["params"], gradient)
+        # jitted + cached: the Adam update is ~10 small elementwise ops;
+        # eager dispatch would pay per-op latency on a tunneled backend
+        # for every training step
+        if not hasattr(self, "_step_fn"):
+            self._step_fn = jax.jit(
+                lambda st, g: self.optimizer.step(st["opt"], st["params"],
+                                                  g))
+        new_params, new_opt = self._step_fn(self.state, gradient)
         self.state = {"params": new_params, "opt": new_opt}
 
 

@@ -5,8 +5,9 @@ Times each stage of the training pipeline as its own jitted program
 (march, compaction, hash encode, full network forward, loss forward,
 full train step) so the per-step budget (bench.py's ~240 ms at
 R=2^11, batch 2^18 on v5e) can be attributed. Each stage is compiled
-and warmed before timing; times are medians over --iters runs with
-block_until_ready.
+and warmed before timing; times are pipelined means — `--iters`
+dispatches enqueued back-to-back, fenced once by a one-element D2H
+readback, total/iters reported (see `timed`).
 
 The stage set mirrors the reference's train_nerf_step phases
 (generate_training_samples_nerf -> inference -> loss kernel -> trainer
@@ -16,7 +17,6 @@ step, src/testbed_nerf.cu:2683-2930).
 import argparse
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -24,15 +24,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _sync(out):
-    # force a REAL device->host readback of one element: on the tunneled
+    # force a REAL device->host readback of ONE element: on the tunneled
     # 'axon' platform block_until_ready returns without waiting (measured
     # 2026-08-19: a 16M-descriptor gather "completed" in 0.08 ms), so the
-    # only trustworthy fence is materializing a value on the host.
-    import numpy as np
+    # only trustworthy fence is materializing a value on the host. The
+    # slice happens ON DEVICE so only one element crosses the tunnel —
+    # np.asarray(leaf) would ship the whole (possibly multi-MB) buffer
+    # inside the timed window.
     import jax
+    import numpy as np
 
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).ravel()[:1]
+    np.asarray(jax.device_get(leaf.ravel()[0:1]))
 
 
 def timed(fn, *args, iters=8):

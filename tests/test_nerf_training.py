@@ -91,6 +91,58 @@ def test_nerf_density_grid_becomes_occupied(testbed):
     assert occupied_bits > 0
 
 
+def test_extra_dims_train_and_render(tmp_path):
+    """Per-image learnable latents: trained per step (reference
+    compute_extra_dims_gradient_train_nerf, testbed_nerf.cu:1271 +
+    VarAdam :2577-2598) and conditioning renders via the rendering
+    extra dims (get_rendering_extra_dims :3206-3266)."""
+    ds = make_dataset()
+    ds.n_extra_learnable_dims = 2
+    cfg = dict(CFG)
+    # latent-carrying datasets need the Composite dir encoding the
+    # config zoo ships (SH for the direction + Identity for the extras,
+    # reference configs/nerf/base.json:37-48)
+    cfg["dir_encoding"] = {"otype": "Composite", "nested": [
+        {"n_dims_to_encode": 3, "otype": "SphericalHarmonics",
+         "degree": 4},
+        {"otype": "Identity"}]}
+    tb = NerfTestbed(ds, cfg, compute_dtype=jnp.float32)
+    tb.target_batch_size = 1 << 12
+    tb.rays_per_batch = 256
+    tb.n_march = 96
+    tb.max_samples_per_ray = 32
+    tb.density_samples_override = 1 << 14
+    assert tb.optimize_extra_dims and tb.data.extra_dims is not None
+    init_latents = np.asarray(tb.data.extra_dims).copy()
+    tb.train(8)
+    trained = np.asarray(tb.data.extra_dims)
+    assert not np.allclose(trained, init_latents), \
+        "latents did not train"
+
+    # rendering defaults to view 0's trained latent and responds to it
+    img_v0 = tb.render_training_view(0, width=24, height=24)
+    assert np.isfinite(img_v0).all()
+    tb.set_rendering_extra_dims(np.full(2, 25.0, np.float32))
+    cam = tb.effective_xform(0)
+    img_big = tb.render_frame(24, 24, cam, spp=1)
+    tb.set_rendering_extra_dims_from_training_view(0)
+    img_view0 = tb.render_frame(24, 24, cam, spp=1)
+    assert not np.allclose(img_big, img_view0), \
+        "render ignores the rendering extra dims"
+
+    # snapshot round-trips the trained latents (dataset-identity gated)
+    path = str(tmp_path / "latents.ingp")
+    tb.save_snapshot(path)
+    from instant_ngp_tpu.data.snapshot import load_snapshot
+
+    ds2 = make_dataset()
+    ds2.n_extra_learnable_dims = 2
+    tb2 = NerfTestbed(ds2, cfg, compute_dtype=jnp.float32)
+    tb2.load_snapshot_state(load_snapshot(path))
+    np.testing.assert_allclose(np.asarray(tb2.data.extra_dims), trained,
+                               atol=1e-6)
+
+
 def test_nerf_render_and_snapshot(testbed, tmp_path):
     img = testbed.render_training_view(0, width=32, height=32)
     assert img.shape == (32, 32, 4)
