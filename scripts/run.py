@@ -91,8 +91,16 @@ def main():
         testbed.apply_pending_snapshot()
 
     if args.nerf_compatibility and testbed.mode == TestbedMode.Nerf:
-        # paper conditions (run.py:151-170)
+        # paper conditions (reference run.py:151-170): sRGB accumulation
+        # (our default training color space — pinned here), no
+        # exponential cone stepping, fixed black background instead of
+        # the random background color, and — for gradient-parity-exact
+        # runs — the exact d-linear encode instead of the stochastic
+        # estimator family
         testbed.impl.scene.cone_angle_constant = 0.0
+        testbed.impl.random_bg_color = False
+        testbed.impl.train_in_linear_colors = False
+        testbed.impl.stochastic_corners = False
         testbed.impl._train_fns.clear()
 
     n_steps = args.n_steps
@@ -148,7 +156,44 @@ def main():
                            spp=args.video_spp)
         print("rendered camera path to", out)
 
-    if args.screenshot_dir:
+    if args.screenshot_transforms:
+        # reference run.py:128-139,276-303: render a screenshot per frame
+        # of the given transforms file, through the NeRF->NGP camera
+        # conversion and the file's camera_angle_x fov, named after each
+        # frame's file_path
+        from instant_ngp_tpu.data.images import write_image
+
+        with open(args.screenshot_transforms) as f:
+            ref_transforms = json.load(f)
+        frames = ref_transforms["frames"]
+        idxs = (range(len(frames)) if not args.screenshot_frames
+                else [int(i) for i in args.screenshot_frames])
+        w = args.width or int(ref_transforms.get("w", 1920))
+        h = args.height or int(ref_transforms.get("h", 1080))
+        impl = testbed.impl
+        fl = None
+        if "camera_angle_x" in ref_transforms:
+            # fov_axis = 0 (reference :277-278)
+            fx = 0.5 * w / math.tan(
+                0.5 * float(ref_transforms["camera_angle_x"]))
+            fl = np.array([fx, fx], np.float32)
+        out_dir = args.screenshot_dir or "."
+        for idx in idxs:
+            fr = frames[int(idx)]
+            m = np.asarray(fr.get("transform_matrix",
+                                  fr.get("transform_matrix_start")),
+                           np.float32)
+            cam = impl.dataset.nerf_matrix_to_ngp(m[:3, :4])
+            outname = os.path.join(out_dir,
+                                   os.path.basename(fr["file_path"]))
+            if not os.path.splitext(outname)[1]:
+                outname += ".png"
+            img = impl.render_frame(w, h, cam, focal_length=fl,
+                                    spp=args.screenshot_spp)
+            os.makedirs(os.path.dirname(outname) or ".", exist_ok=True)
+            write_image(outname, img.astype(np.float32))
+            print("wrote", outname)
+    elif args.screenshot_dir:
         os.makedirs(args.screenshot_dir, exist_ok=True)
         from instant_ngp_tpu.data.images import write_image
 
