@@ -44,12 +44,27 @@ def bench_nerf(queue):
     tb.adapt_ray_batch = False
     tb.train(1)            # compiles
     tb.train(17)           # warm incl. a prep-boundary block
-    t0 = time.perf_counter()
-    n = 64
-    tb.train(n)
-    dt = time.perf_counter() - t0
+
+    # median of 3 independent windows: the tunneled device stream has
+    # run-to-run variance (BENCH_r02 vs builder runs spanned +-25%), so
+    # one window is not a trustworthy number
+    windows = []
+    n = 32
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tb.train(n)
+        windows.append(time.perf_counter() - t0)
+    dt = sorted(windows)[1]
     samples_per_s = n * tb.measured_batch_size / dt
     perf = tb.performance_stats()
+
+    # the adaptive controller's next bucket from the measured batch —
+    # proof the pinned 2^11 bucket IS the adaptive operating point
+    # (update_after_training semantics, testbed_nerf.cu:2442-2443)
+    next_rays = int((1 << 11) * tb.target_batch_size
+                    / max(tb.measured_batch_size, 1))
+    controller_bucket = tb._bucket(next_rays)
+
     queue.put({
         "metric": "nerf_train_samples_per_s",
         "value": round(samples_per_s, 1),
@@ -62,6 +77,10 @@ def bench_nerf(queue):
                    "loss": round(tb.loss_scalar, 5),
                    "measured_batch": int(tb.measured_batch_size),
                    "stochastic_corners": tb.stochastic_corners,
+                   "window_s": [round(w, 3) for w in windows],
+                   "adaptive_controller_bucket": controller_bucket,
+                   "pinned_bucket": 1 << 11,
+                   "encode": "row_interleaved",
                    "phase_ms": perf.get("phase_ms")},
     })
 
