@@ -82,3 +82,25 @@ def test_parent_cycle_raises(tmp_path):
     (tmp_path / "b.json").write_text('{"parent": "a.json"}')
     with pytest.raises(ValueError, match="cyclic"):
         load_network_config(str(tmp_path / "a.json"))
+
+
+def test_config_zoo_carries_variance_schedule():
+    """The variance schedule (stochastic_corners_until) ships in the
+    grid-encoding config zoo files — not as a code default — so config
+    and snapshot round-trips preserve it, and the testbeds pick it up
+    from the loaded config."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    for rel in ("configs/image/base.json", "configs/sdf/base.json",
+                "configs/volume/base.json"):
+        cfg = load_network_config(os.path.join(repo, rel))
+        assert cfg["encoding"]["stochastic_corners_until"] == 256, rel
+
+    import numpy as np
+
+    from instant_ngp_tpu.image.testbed_image import ImageTestbed
+
+    cfg = load_network_config(os.path.join(repo, "configs/image/base.json"))
+    cfg["encoding"]["stochastic_corners_until"] = 7
+    img = np.random.default_rng(0).random((16, 16, 3), np.float32)
+    tb = ImageTestbed(img, cfg)
+    assert tb.stochastic_corners_until == 7
