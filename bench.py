@@ -59,11 +59,17 @@ def bench_nerf(queue):
     perf = tb.performance_stats()
 
     # the adaptive controller's next bucket from the measured batch —
-    # proof the pinned 2^11 bucket IS the adaptive operating point
-    # (update_after_training semantics, testbed_nerf.cu:2442-2443)
-    next_rays = int((1 << 11) * tb.target_batch_size
-                    / max(tb.measured_batch_size, 1))
-    controller_bucket = tb._bucket(next_rays)
+    # proof the pinned 2^11 bucket IS the adaptive operating point.
+    # Mirrors _sync_stats exactly (update_after_training semantics,
+    # testbed_nerf.cu:2442-2443 + the capacity clamp: expected GENERATED
+    # samples must fit the static sample capacity)
+    new_rays = int((1 << 11) * tb.target_batch_size
+                   / max(tb.measured_batch_size, 1))
+    capacity = tb.target_batch_size * tb.sample_capacity_multiplier
+    cap_rays = int((1 << 11) * capacity
+                   / max(tb.measured_batch_size_before_compaction, 1))
+    controller_bucket = tb._bucket(
+        min(max(min(new_rays, cap_rays), 256), 1 << 14))
 
     queue.put({
         "metric": "nerf_train_samples_per_s",

@@ -776,24 +776,40 @@ class NerfTestbed:
 
             if len(pending) >= self.sync_every or i == n_steps - 1:
                 with self.timers.time("train_sync"):
-                    self._sync_stats(pending)
+                    self._sync_stats(pending, final=(i == n_steps - 1))
                 pending = []
         return self.loss_scalar
 
-    def _sync_stats(self, pending) -> None:
+    def _sync_stats(self, pending, final: bool = True) -> None:
         """Block once on a batch of steps' stats; adapt from the latest.
 
         Reads the ONE fused (4,) stats vector (loss, measured, measured
         pre-compaction, n_rays) in a single D2H transfer — four separate
         scalar reads each cost a full tunnel round trip (BENCH_r02:
-        ~25% of wall time in train_sync). The train loop kicks off
-        copy_to_host_async on the vector at dispatch time, so by the
-        time this blocks the transfer has usually already landed."""
+        ~25% of wall time in train_sync).
+
+        Mid-run syncs (final=False) read the PREVIOUS cadence's marker
+        step instead of the newest one: the newest step was dispatched
+        microseconds ago, so blocking on it drains the whole device
+        queue (~2.5 steps of idle per sync measured in BENCH_r03's
+        predecessor); the lagged marker's async D2H landed a cadence
+        ago and costs ~0. Adaptation thus runs on 16-step-old stats —
+        the same information one cadence later (the reference adapts
+        from the previous step for the same reason,
+        testbed_nerf.cu:2442). The last sync of a train() call is
+        final=True and reads the true latest step."""
         import time as _time
 
         if not pending:
             return
         stats = pending[-1]
+        if not final:
+            lagged = getattr(self, "_lagged_sync_marker", None)
+            self._lagged_sync_marker = stats
+            if lagged is not None:
+                stats = lagged
+        else:
+            self._lagged_sync_marker = None
         if "fused" in stats:
             vec = np.asarray(stats["fused"])
             loss_v = float(vec[0])

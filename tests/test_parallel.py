@@ -253,3 +253,60 @@ def test_mesh_testbed_one_device_mesh():
     loss = tb.train(16)
     assert np.isfinite(loss)
     assert tb.measured_batch_size > 0
+
+
+def test_sharded_render_pixel_parity():
+    """make_sharded_render (pixel tiles over the data axis) must
+    reproduce the single-device render_tile on the same rays to float
+    rounding: rendering is pure per-ray math with no cross-ray or
+    cross-chip reduction, so any difference beyond XLA fusion rounding
+    (different programs fuse differently) is a sharding bug (analog:
+    reference testbed.cu per-GPU tile dispatch)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from __graft_entry__ import _NERF_CFG, _tiny_dataset
+    from instant_ngp_tpu.nerf.occupancy import init_bitfield
+    from instant_ngp_tpu.nerf.parallel import make_sharded_render
+    from instant_ngp_tpu.nerf.render import RenderConfig, render_tile
+    from instant_ngp_tpu.nerf.testbed_nerf import NerfTestbed
+
+    tb = NerfTestbed(_tiny_dataset(), _NERF_CFG, compute_dtype=jnp.float32)
+    cfg = RenderConfig(
+        n_rays=64, n_march=32, max_samples_per_ray=8,
+        sample_capacity=512, cone_angle=0.0, max_mip=0,
+        rgb_activation="Logistic", density_activation="Exponential")
+    lo, hi = jnp.zeros(3), jnp.ones(3)
+    bitfield = jnp.full_like(init_bitfield(), 255)
+    params = tb.inference_params()
+
+    n_dev = 4
+    mesh = data_parallel_mesh(jax.devices()[:n_dev])
+    key = jax.random.PRNGKey(3)
+    # rays through the occupied box from outside
+    o = jnp.full((n_dev * 64, 3), -0.25) \
+        + 0.5 * jax.random.uniform(key, (n_dev * 64, 3))
+    d = jnp.ones((n_dev * 64, 3)) / np.sqrt(3.0)
+    bg = jnp.zeros((64, 3))
+
+    ref = [render_tile(tb.model, cfg, params, o[i * 64:(i + 1) * 64],
+                       d[i * 64:(i + 1) * 64], bitfield, lo, hi, bg)
+           for i in range(n_dev)]
+
+    render = make_sharded_render(tb.model, cfg, lo, hi, mesh)
+    shard = NamedSharding(mesh, P("data"))
+    out = render(params,
+                 jax.device_put(o.reshape(n_dev, 64, 3), shard),
+                 jax.device_put(d.reshape(n_dev, 64, 3), shard),
+                 bitfield, bg)
+    for k in ("rgb", "alpha", "depth"):
+        got = np.asarray(out[k]).reshape(n_dev, *np.asarray(ref[0][k]).shape)
+        for i in range(n_dev):
+            np.testing.assert_allclose(
+                got[i], np.asarray(ref[i][k]), rtol=1e-4, atol=1e-6,
+                err_msg=f"{k} tile {i} diverged under sharding")
