@@ -42,8 +42,17 @@ def bench_nerf(queue):
     # so per-dispatch tunnel latency (~1 ms amortized) is hidden.
     tb.rays_per_batch = 1 << 11
     tb.adapt_ray_batch = False
-    tb.train(1)            # compiles
-    tb.train(17)           # warm incl. a prep-boundary block
+    # scanned dispatch: 16 train steps (+ their 16-step-cadence density
+    # prep) run as ONE jitted lax.scan block per tunnel dispatch — the
+    # eager path paid ~15-20 ms/step of dispatch+sync overhead on top
+    # of the ~110 ms jitted step (profile_nerf_step_r3). Warmup below
+    # compiles the three block shapes the schedule produces (4-step
+    # per-step-prep warmup, 12-step tail, 16-step lead); each window
+    # then reuses the cached 16-step block.
+    tb.steps_per_dispatch = 16
+    tb.train(4)            # warmup full-sweep preps (scan-4, per_step)
+    tb.train(12)           # scan-12 'none' block to the prep boundary
+    tb.train(16)           # scan-16 'lead' block — the steady state
 
     # median of 3 independent windows: the tunneled device stream has
     # run-to-run variance (BENCH_r02 vs builder runs spanned +-25%), so

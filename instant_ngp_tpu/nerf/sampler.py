@@ -273,9 +273,10 @@ def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
     every ray uniformly instead of starving late rays. base/count are
     not meaningful in this order (count still reports kept samples/ray).
 
-    Random-access traffic is ONE index scatter (R*M elements) + ONE
-    t gather + ONE packed per-ray row gather on the compacted
-    (capacity,) domain — everything else (dt, positions, dirs, warps)
+    Random-access traffic is ONE t gather + ONE packed per-ray row
+    gather on the compacted (capacity,) domain — the slot->candidate
+    inversion itself is a SORT (dense passes, zero descriptors; see
+    inline comment), and everything else (dt, positions, dirs, warps)
     is recomputed arithmetically from (ray_id, t), instead of
     scattering nine separate (R*M,) value planes. The per-ray origin+
     direction ride one (R, 8) row so a single descriptor fetches all
@@ -296,14 +297,22 @@ def compact_samples(rays: RayBatch, ts: jax.Array, dts: jax.Array,
     flat_pos = jnp.where(emits, rank, capacity)
     flat_pos = jnp.minimum(flat_pos, capacity)                 # clamp tail
 
-    # single scatter: compacted slot -> flat candidate index. Tail slots
-    # keep the R*M sentinel (scatters targeting them route to a spare
-    # plane element); derived-field gathers use a clamped copy.
-    src = jnp.full(capacity + 1, n_rays * n_march, jnp.int32)
-    src = src.at[flat_pos.reshape(-1)].set(
-        jnp.arange(n_rays * n_march, dtype=jnp.int32),
-        mode="drop")[:capacity]
-    src_c = jnp.minimum(src, n_rays * n_march - 1)
+    # invert slot->candidate by SORT instead of scatter: XLA sort is
+    # dense comparison passes (zero gather/scatter descriptors), and the
+    # R*M-element scatter paid one descriptor per SOURCE element even
+    # for the ~88% non-emitting candidates. Measured on TPU v5e at the
+    # fox operating point (walkthrough_out/microbench_compact_r3.json):
+    # sort 5.6 ms vs scatter 13.4 ms. Emitting candidates' keys are
+    # exactly their compacted ranks (unique, < capacity), so after an
+    # ascending key sort the first min(capacity, n) values ARE the
+    # compacted source indices; tail slots keep the R*M sentinel.
+    n = n_rays * n_march
+    keys, vals = jax.lax.sort(
+        (flat_pos.reshape(-1), jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    m = min(capacity, n)
+    src = jnp.full(capacity, n, jnp.int32)
+    src = src.at[:m].set(jnp.where(keys[:m] < capacity, vals[:m], n))
+    src_c = jnp.minimum(src, n - 1)
 
     ray_id = src_c // n_march                                  # (S,)
     t_flat = ts.reshape(-1)[src_c]

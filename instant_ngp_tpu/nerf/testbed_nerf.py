@@ -435,16 +435,20 @@ class NerfTestbed:
                 jnp.pad(c, (0, pad)).reshape(n_chunks, chunk)
                 for c in warped])
 
-            # stochastic-corner encode: the EMA-max grid update already
-            # samples ONE random position per cell (the reference does
-            # the same, update_density_grid_nerf :2271), so corner noise
-            # adds to existing sampling noise; 2^d fewer descriptors
-            # turns the 3.9 s full prep into ~0.6 s on TPU
+            # stochastic-corner encode at exact_axes=0 (pure 1-corner
+            # Bernoulli): the EMA-max grid update already samples ONE
+            # random position per cell (the reference does the same,
+            # update_density_grid_nerf :2271), so corner noise adds to
+            # existing sampling noise, and the max() EMA only errs
+            # CONSERVATIVE (noise inflates maxima -> cells stay marked).
+            # 2^d fewer descriptors than exact, half of the training
+            # encode's j=1 — prep is ~20% of steady-state step time.
             def density_chunk(cols):
                 if stoch and hasattr(model.pos_encoding, "pack_params"):
                     feats = model.pos_encoding.apply_components(
                         params["pos_encoding"],
-                        [cols[0], cols[1], cols[2]], rng=k_enc)
+                        [cols[0], cols[1], cols[2]], rng=k_enc,
+                        exact_axes=0)
                 elif hasattr(model.pos_encoding, "apply_components"):
                     feats = model.pos_encoding.apply_components(
                         params["pos_encoding"], [cols[0], cols[1],
@@ -502,6 +506,11 @@ class NerfTestbed:
             self.state, self.density_grid, em, self.data, self.bitfield,
             self.mean_density, train_rngs, density_rngs,
             self._error_cdfs, 0.95)
+        if "fused" in stats:
+            try:   # start the (4,) D2H now; the lagged sync reads it
+                stats["fused"].copy_to_host_async()
+            except Exception:
+                pass
         if self._error_map is not None:
             self._error_map = em
             self._n_steps_since_error_update += n_scan
@@ -696,7 +705,11 @@ class NerfTestbed:
                     stats = self._train_scanned_block(k, mode)
                 done += k
                 with self.timers.time("train_sync"):
-                    self._sync_stats([stats])
+                    # mid-run blocks sync the PREVIOUS block's marker
+                    # (lagged, already landed) so consecutive blocks
+                    # pipeline on the device queue; only the last block
+                    # of the call blocks on its own stats
+                    self._sync_stats([stats], final=(done >= n_steps))
             return self.loss_scalar
 
         pending = []  # (stats, step_idx) not yet synced

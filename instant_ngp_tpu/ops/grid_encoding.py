@@ -779,18 +779,22 @@ class GridEncoding(Encoding):
         self._sc = sc
         return sc
 
-    def _build_stochastic_call(self):
+    def _build_stochastic_call(self, j_exact: int):
         """custom-VJP encode that samples corners per (sample, level)
         with probability equal to the d-linear weight — an unbiased
         estimator of the d-linear interpolation with up to 2^d fewer
         gather descriptors (the dominant cost on TPU v5e, where gathers
         run at ~110 M descriptors/s regardless of width).
 
-        `stochastic_exact_axes` trades descriptors for variance: along j
-        randomly-chosen axes the interpolation is computed EXACTLY (both
-        endpoints enumerated and weighted), the remaining d-j axes are
-        Bernoulli-sampled — 2^j descriptors per (sample, level) instead
-        of 2^d. j=0 is the original 1-corner estimator.
+        `j_exact` (config default: stochastic_exact_axes) trades
+        descriptors for variance: along j randomly-chosen axes the
+        interpolation is computed EXACTLY (both endpoints enumerated and
+        weighted), the remaining d-j axes are Bernoulli-sampled — 2^j
+        descriptors per (sample, level) instead of 2^d. j=0 is the
+        original 1-corner estimator (callers tolerant of extra variance
+        — e.g. the density-grid EMA-max prep, which already samples one
+        random position per cell — pass exact_axes=0 to halve their
+        descriptor bill).
 
         Training-only: the backward returns ZERO input gradients (callers
         that need dL/dx — camera/distortion optimization, Normals — must
@@ -799,7 +803,6 @@ class GridEncoding(Encoding):
         d-linearly weighted gradient."""
         sc = self._stoch_constants()
         d = self.n_dims
-        j_exact = int(getattr(self, "stochastic_exact_axes", 0))
         assert 0 <= j_exact < d
 
         res_arr = np.asarray(sc["res"])[None, :]
@@ -961,7 +964,8 @@ class GridEncoding(Encoding):
 
     def apply_components(self, params: jax.Array, comps,
                          max_level: Optional[jax.Array] = None,
-                         rng: Optional[jax.Array] = None) -> jax.Array:
+                         rng: Optional[jax.Array] = None,
+                         exact_axes: Optional[int] = None) -> jax.Array:
         """All levels+corners in one flattened (N, L*2^d) lane axis, with
         corner reduction as an MXU matmul.
 
@@ -972,15 +976,22 @@ class GridEncoding(Encoding):
         `rng`: when given (training only), use the stochastic-corner
         estimator — one fetch per (sample, level, enumerated corner)
         instead of per 2^d corners — see _build_stochastic_call.
-        Requires row mode or packed mode (even F)."""
+        Requires row mode or packed mode (even F).
+
+        `exact_axes`: per-call override of stochastic_exact_axes (only
+        meaningful with rng) — variance-tolerant callers pass 0."""
         f = self.n_features_per_level
         stoch_ok = self._row_mode or (self.packed and f % 2 == 0)
         if rng is not None and stoch_ok:
-            if getattr(self, "_stoch_call", None) is None:
-                self._stoch_call = self._build_stochastic_call()
+            j = int(getattr(self, "stochastic_exact_axes", 0)) \
+                if exact_axes is None else int(exact_axes)
+            if getattr(self, "_stoch_calls", None) is None:
+                self._stoch_calls = {}
+            if j not in self._stoch_calls:
+                self._stoch_calls[j] = self._build_stochastic_call(j)
             ml = None if max_level is None \
                 else jnp.asarray(max_level, jnp.float32)
-            out = self._stoch_call(params, tuple(comps), rng, ml)
+            out = self._stoch_calls[j](params, tuple(comps), rng, ml)
             return out.astype(self.dtype)
         if self._row_mode:
             if getattr(self, "_row_call", None) is None:
