@@ -187,21 +187,26 @@ def main():
         print(json.dumps(result))
         return
 
-    result = run_with_watchdog(bench_nerf, timeout_s=540)
+    # 1080 s: after a host reboot the tunnel charges a ~150 s
+    # first-compile handshake per process and the scan blocks are
+    # minutes-class cold compiles (measured 2026-08-20); the
+    # persistent .jax_cache makes warm attempts fast, so the long
+    # watchdog only bites exactly when it is needed
+    result = run_with_watchdog(bench_nerf, timeout_s=1080)
     if result is None:
         # the tunneled TPU wedges a single process's stream for ~20 min
         # at a time while FRESH processes get normal service (measured
         # 2026-08-17) — one retry in a new process usually lands
-        result = run_with_watchdog(bench_nerf, timeout_s=540)
+        result = run_with_watchdog(bench_nerf, timeout_s=1080)
     if result is not None:
         # secondary metric: image-mode throughput (pure hash-encode+MLP
         # at batch 2^18 — the VERDICT r1 "encoding is fixed" gate)
-        img = run_with_watchdog(bench_image, timeout_s=360)
+        img = run_with_watchdog(bench_image, timeout_s=600)
         if img is not None:
             result["detail"]["image_train_samples_per_s"] = img["value"]
             result["detail"]["image_vs_baseline"] = img["vs_baseline"]
     if result is None:
-        result = run_with_watchdog(bench_image, timeout_s=420)
+        result = run_with_watchdog(bench_image, timeout_s=600)
     if result is None:
         result = run_with_watchdog(bench_image_cpu, timeout_s=300)
         if result is not None:

@@ -81,11 +81,17 @@ def run_arm(arm: str, steps: int, milestones, report: dict, args) -> None:
             tb.train(ms - trained)
             t_train += time.perf_counter() - t0
             trained = ms
-            # cheap timeline point (protocol: ds4, spp2, 2 views)
+            # cheap timeline point, BOTH protocols: ds4 (area-averaged GT
+            # vs a 2-spp point-sampled render — expected to fall as the
+            # model sharpens) and full-res (the honest trajectory). The
+            # pair on every milestone is the protocol-ceiling evidence.
             psnrs = [impl.eval_psnr(v, spp=2, downscale=4)
                      for v in (0, 30)]
+            psnrs_full = [impl.eval_psnr(v, spp=2, downscale=1)
+                          for v in (0, 30)]
             entry = {"step": ms, "train_time_s": round(t_train, 2),
                      "psnr_ds4_avg": round(float(np.mean(psnrs)), 3),
+                     "psnr_full_avg": round(float(np.mean(psnrs_full)), 3),
                      "loss": round(tb.loss, 6)}
             rec["timeline"].append(entry)
             print(f"[{arm}]", entry, flush=True)
@@ -103,12 +109,15 @@ def run_arm(arm: str, steps: int, milestones, report: dict, args) -> None:
                     [round(x, 3) for x in v])
                 for k, v in ev.items()}
             save(report, args)
-
-    if arm == "default" and trained >= steps:
-        img = impl.render_training_view(0, spp=4, width=540, height=960)
-        png = os.path.join(args.out_dir, "fox_view0_r3.png")
-        write_image(png, np.clip(img[..., :3], 0, 1).astype(np.float32))
-        print("wrote", png, flush=True)
+            if arm == "default":
+                # committed view render after EVERY full eval so an
+                # interrupted run still leaves the PNG artifact
+                img = impl.render_training_view(0, spp=4, width=540,
+                                                height=960)
+                png = os.path.join(args.out_dir, "fox_view0_r3.png")
+                write_image(png, np.clip(img[..., :3], 0,
+                                         1).astype(np.float32))
+                print("wrote", png, flush=True)
 
 
 def save(report, args):
