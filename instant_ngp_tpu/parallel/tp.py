@@ -58,17 +58,17 @@ class LevelShardedGrid:
         self.hashed = jnp.asarray(np.asarray(enc._hashed, bool))
 
     # -- host-side packing --------------------------------------------
+    # Layout-aware: the flat vector is entry-interleaved in row mode
+    # (the default since the row-gather redesign) or planar otherwise;
+    # level_params() abstracts that, and unpack writes the inverse.
     def pack(self, flat: jax.Array) -> jax.Array:
-        """(n_params,) planar flat -> (L, Tmax, F), zero-padded rows."""
-        f = self.enc.n_features_per_level
-        w = self.enc._n_words
-        out = np.zeros((self.enc.n_levels, self.max_rows, f), np.float32)
+        """(n_params,) flat vector -> (L, Tmax, F), zero-padded rows."""
+        out = np.zeros((self.enc.n_levels, self.max_rows,
+                        self.enc.n_features_per_level), np.float32)
         flat = np.asarray(flat)
         for lvl in range(self.enc.n_levels):
             size = int(self.enc._sizes[lvl])
-            start = int(self.enc._offsets[lvl])
-            for k in range(f):
-                out[lvl, :size, k] = flat[k * w + start:k * w + start + size]
+            out[lvl, :size] = np.asarray(self.enc.level_params(flat, lvl))
         return jnp.asarray(out)
 
     def unpack(self, table) -> jax.Array:
@@ -79,8 +79,13 @@ class LevelShardedGrid:
         for lvl in range(self.enc.n_levels):
             size = int(self.enc._sizes[lvl])
             start = int(self.enc._offsets[lvl])
-            for k in range(f):
-                flat[k * w + start:k * w + start + size] = table[lvl, :size, k]
+            if self.enc._row_mode:
+                flat[start * f:(start + size) * f] = \
+                    table[lvl, :size].reshape(-1)
+            else:
+                for k in range(f):
+                    flat[k * w + start:k * w + start + size] = \
+                        table[lvl, :size, k]
         return jnp.asarray(flat)
 
     # -- device-side level-uniform featurization ----------------------
