@@ -265,7 +265,7 @@ def load_nerf(jsonpaths, sharpen_amount: float = 0.0,
     white_transparent = False
     black_transparent = False
     depth_scale = -1.0
-    for node in jsons:
+    for node, jp in zip(jsons, jsonpaths):
         if "normal_mts_args" in node:
             ds.from_mitsuba = True
         if ds.from_mitsuba:
@@ -308,6 +308,25 @@ def load_nerf(jsonpaths, sharpen_amount: float = 0.0,
         if "up" in node:
             u = node["up"]
             ds.up = np.array([u[1], u[2], u[0]], np.float32)
+        if "envmap" in node:
+            # dataset-provided lat-long environment map
+            # (nerf_loader.cu:531-543): EXR loads linear and flags the
+            # dataset HDR; LDR images go through sRGB->linear so the
+            # stored radiance is linear either way. Seeds the trainable
+            # envmap at reset (testbed.cu:3850-3865).
+            epath = _resolve_path(os.path.dirname(os.path.abspath(jp)),
+                                  str(node["envmap"]))
+            if not os.path.exists(epath):
+                raise FileNotFoundError(
+                    f"Environment map {epath!r} does not exist")
+            img, env_hdr = _load_frame_image(epath)
+            rgba = np.asarray(img, np.float32)
+            if env_hdr:
+                ds.is_hdr = True
+            else:
+                rgba /= 255.0
+                rgba[..., :3] = srgb_to_linear(rgba[..., :3])
+            ds.envmap = rgba
 
     # per-json frame list assembly
     work = []  # (json_index, frame_dict, base_path, base_lens_info)

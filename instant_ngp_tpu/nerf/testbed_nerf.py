@@ -221,10 +221,19 @@ class NerfTestbed:
         self.optimize_distortion = False
         env_cfg = network_config.get("envmap", {})
         dist_cfg = network_config.get("distortion_map", {})
-        env_res = (8, 16)  # (H, W); dataset-provided envmaps override
+        # dataset-provided envmap sizes AND seeds the trainable buffer
+        # (set_params_full_precision from dataset.envmap_data,
+        # testbed.cu:3861-3863)
+        env_res = (8, 16)  # (H, W) default when the dataset has none
+        env_init = None
+        if dataset.envmap is not None:
+            env_res = dataset.envmap.shape[:2]
+            env_init = np.asarray(dataset.envmap, np.float32)
+        self.has_dataset_envmap = env_init is not None
         self.envmap = TrainableBuffer(
             (env_res[0], env_res[1], 4),
-            env_cfg.get("optimizer", network_config["optimizer"]))
+            env_cfg.get("optimizer", network_config["optimizer"]),
+            init_value=env_init)
         dist_res = dist_cfg.get("resolution", [32, 32])
         self.distortion_map = TrainableBuffer(
             (dist_res[1], dist_res[0], 2),
@@ -1084,7 +1093,11 @@ class NerfTestbed:
             jnp.asarray(background_color, jnp.float32), (tile, 3))
 
         if use_envmap_background is None:
-            use_envmap_background = self.train_envmap
+            # on whenever an envmap exists: being trained, or loaded
+            # from the dataset (render_nerf composites the envmap for
+            # every ray when envmap data is present, :1862-1866)
+            use_envmap_background = (self.train_envmap
+                                     or self.has_dataset_envmap)
         env_params = self.envmap.params if use_envmap_background else None
         if env_params is not None:
             from ..ops.trainable_buffer import read_envmap
