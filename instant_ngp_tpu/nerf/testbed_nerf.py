@@ -108,6 +108,10 @@ class NerfTestbed:
         # render-path network-query budget per tile dispatch (reference
         # target_n_queries, testbed_nerf.cu:1697-1698)
         self.render_query_budget = 2 << 20
+        # early-out wavefront renderer for Shade/Depth/AO (dead rays are
+        # never evaluated — NerfTracer::trace semantics); off falls back
+        # to the single-dispatch capacity-bound render_tile
+        self.render_wavefront = True
         # generation capacity = multiplier * target batch (the reference
         # sizes its uncompacted buffers at 16x target, testbed_nerf.cu:2685,
         # but pads the COMPACTED batch to the target with fill_rollover —
@@ -153,16 +157,20 @@ class NerfTestbed:
         self.warmup_full_grid_preps = 4
 
         # >1 fuses K (train + density-update) iterations into ONE jitted
-        # lax.scan program. Measured on TPU v5e (2026-08, post
-        # candidate-march redesign): the scanned block RUNS (the round-1
-        # Mosaic fault is gone) but is ~4x slower than the eager path
-        # (0.94 vs 4.18 steps/s) and compiles for ~10 min through the
-        # tunnel — lax.scan blocks XLA's cross-step overlap and buffer
-        # donation. The eager path with the 16-step stat-sync cadence
-        # already pipelines dispatches (~1 ms amortized overhead), so
-        # keep K=1 on TPU; the scanned path remains for CPU parity tests
-        # and environments with pathological per-dispatch latency.
-        self.steps_per_dispatch = 1
+        # lax.scan program — one tunnel dispatch per block. Measured on
+        # TPU v5e post row-gather redesign (BENCH_r03): the 16-step
+        # scanned block runs 7.26 steps/s vs ~4.2 eager — 1.7x — because
+        # one dispatch per block beats per-step dispatch latency through
+        # the tunnel. (A round-2 measurement on the older march design
+        # had the scanned path 4x SLOWER; the redesign removed the
+        # buffers that blocked XLA's cross-step overlap.) Camera/
+        # exposure/focal optimization runs inside the block (gradients
+        # accumulate across the scan; the host Adam applies on the
+        # 16-step boundary exactly like the eager path). Envmap/
+        # distortion/per-image-latent optimization steps their device
+        # Adam every step, which a scan can't replicate — those fall
+        # back to eager, as does a sharded mesh.
+        self.steps_per_dispatch = 16
 
         # training color semantics (nerf.h: random_bg_color default true,
         # linear_colors default false; --nerf_compatibility flips bg off)
@@ -349,9 +357,12 @@ class NerfTestbed:
         block — a block starting on a 16-step prep boundary), or 'none'
         (block entirely between prep boundaries)."""
         has_error_map = self._error_map is not None
+        has_cam = (self.optimize_extrinsics or self.optimize_focal_length
+                   or self.optimize_exposure)
         key = ("scan", n_rays, max_k, n_scan, prep_mode,
                self._error_cdfs is not None, self._error_map_res,
-               has_error_map, self._stoch_now())
+               has_error_map, has_cam, self.optimize_exposure,
+               self._stoch_now())  # stoch flag last (tests key on it)
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)
             aabb_min = jnp.asarray(self.scene.aabb_min)
@@ -370,7 +381,7 @@ class NerfTestbed:
 
             def block(state, density_grid, error_map, data, bitfield,
                       mean_density, train_rngs, density_rngs, error_cdfs,
-                      decay):
+                      decay, cam):
                 def body(carry, rngs):
                     st, grid, bf, mean, em = carry
                     t_rng, d_rng = rngs
@@ -382,6 +393,7 @@ class NerfTestbed:
                     new_st, stats = nerf_train_step(
                         self.model, self.optimizer, cfg, aabb_min,
                         aabb_max, st, data, bf, mean, t_rng,
+                        cam=cam if has_cam else None,
                         error_cdfs=error_cdfs,
                         error_map=em if has_error_map else None)
                     em2 = stats["error_map"] if "error_map" in stats \
@@ -389,7 +401,8 @@ class NerfTestbed:
                     out = {k: stats[k] for k in
                            ("loss", "measured_batch_size",
                             "measured_batch_size_before_compaction",
-                            "fused") if k in stats}
+                            "fused", "cam_gradient", "exposure_gradient")
+                           if k in stats}
                     return (new_st, grid, bf, mean, em2), out
 
                 if prep_mode == "lead":
@@ -403,7 +416,14 @@ class NerfTestbed:
                     (state, density_grid, bitfield, mean_density,
                      error_map),
                     (train_rngs, density_rngs))
-                last = {k: v[-1] for k, v in seq.items()}
+                # scalars report the block's last step; aux gradients SUM
+                # over the scan (the eager path accumulates them per
+                # step with tree-add — same total at the 16-boundary)
+                last = {k: (jax.tree_util.tree_map(
+                            lambda x: jnp.sum(x, axis=0), v)
+                            if k in ("cam_gradient", "exposure_gradient")
+                            else v[-1])
+                        for k, v in seq.items()}
                 return (state, density_grid, bitfield, mean_density,
                         error_map, last)
 
@@ -514,7 +534,24 @@ class NerfTestbed:
          em, stats) = fn(
             self.state, self.density_grid, em, self.data, self.bitfield,
             self.mean_density, train_rngs, density_rngs,
-            self._error_cdfs, 0.95)
+            self._error_cdfs, 0.95, self._cam_dict())
+        # camera/exposure gradients arrive pre-summed over the block;
+        # the host Adam applies on the same 16-step boundary as eager
+        if "cam_gradient" in stats:
+            g = stats["cam_gradient"]
+            self._cam_grad_accum = g if self._cam_grad_accum is None \
+                else jax.tree_util.tree_map(jnp.add,
+                                            self._cam_grad_accum, g)
+        if "exposure_gradient" in stats:
+            g = stats["exposure_gradient"]
+            self._exposure_grad_accum = (
+                g if self._exposure_grad_accum is None
+                else self._exposure_grad_accum + g)
+        self._n_steps_since_cam_update += n_scan
+        if self._n_steps_since_cam_update >= \
+                self.n_steps_between_cam_updates:
+            self._apply_camera_updates()
+            self._n_steps_since_cam_update = 0
         if "fused" in stats:
             try:   # start the (4,) D2H now; the lagged sync reads it
                 stats["fused"].copy_to_host_async()
@@ -680,11 +717,18 @@ class NerfTestbed:
 
     def train(self, n_steps: int) -> float:
         """n_steps full training iterations (prep + step + adapt)."""
-        aux_active = (self.optimize_extrinsics or self.optimize_exposure
-                      or self.optimize_focal_length or self.train_envmap
-                      or self.optimize_distortion)
+        # camera/exposure/focal optimization scans (gradients accumulate
+        # across the block; host Adam on the 16-boundary). Envmap/
+        # distortion/latent optimization steps a device Adam every step
+        # — not expressible in a fixed-param scan — so those stay eager.
+        scan_incompatible = (
+            self.train_envmap or self.optimize_distortion
+            or (self.optimize_extra_dims
+                and self.data.extra_dims is not None))
+        cam_active = (self.optimize_extrinsics or self.optimize_exposure
+                      or self.optimize_focal_length)
         K = self.steps_per_dispatch
-        if K > 1 and not aux_active and self.mesh is None:
+        if K > 1 and not scan_incompatible and self.mesh is None:
             done = 0
             while done < n_steps:
                 # unified prep schedule (same as the eager path): full
@@ -699,6 +743,12 @@ class NerfTestbed:
                     # a block must not straddle the stochastic->exact
                     # switch (the scanned program bakes the flag in)
                     k = min(k, until - step)
+                if cam_active:
+                    # nor the camera-update boundary (offsets are
+                    # constant within a block, like eager between
+                    # host-Adam applications)
+                    k = min(k, self.n_steps_between_cam_updates
+                            - self._n_steps_since_cam_update)
                 if step < self.warmup_full_grid_preps:
                     k = min(k, self.warmup_full_grid_preps - step)
                     mode = "per_step"
@@ -710,7 +760,7 @@ class NerfTestbed:
                     else:
                         mode = "none"
                         k = min(k, self.prep_every - off)
-                with self.timers.time("training_prep"):
+                with self.timers.time("scan_dispatch"):
                     stats = self._train_scanned_block(k, mode)
                 done += k
                 with self.timers.time("train_sync"):
@@ -990,7 +1040,8 @@ class NerfTestbed:
         if not hasattr(self, "_render_fns"):
             self._render_fns = {}
         if key not in self._render_fns:
-            from .render import RenderConfig, render_tile
+            from .render import (RenderConfig, WavefrontRenderer,
+                                 render_tile)
 
             # depth-major compaction + query budget (reference
             # target_n_queries=2M, testbed_nerf.cu:1697): capacity is the
@@ -1013,6 +1064,34 @@ class NerfTestbed:
             aabb_min = jnp.asarray(self.scene.aabb_min)
             aabb_max = jnp.asarray(self.scene.aabb_max)
 
+            if mode in ("Shade", "Depth", "AO") and self.render_wavefront:
+                # early-out wavefront path: dead rays are never
+                # evaluated (NerfTracer::trace semantics) — ~10x fewer
+                # network evaluations on opaque scenes than the
+                # capacity-bound render_tile. Weighted-sum outputs are
+                # identical, so Depth/AO ride the same program.
+                wr = WavefrontRenderer(self.model, cfg, aabb_min,
+                                       aabb_max)
+                if mode == "Shade":
+                    self._render_fns[key] = wr.render
+                elif mode == "Depth":
+                    def depth_fn(params, o, d, bitfield, bg, extra=None):
+                        out = dict(wr.render(params, o, d, bitfield,
+                                             jnp.zeros_like(bg), extra))
+                        out["rgb"] = jnp.stack([out["depth"]] * 3, -1) \
+                            + (1.0 - out["alpha"])[:, None] * bg
+                        return out
+                    self._render_fns[key] = depth_fn
+                else:
+                    def ao_fn(params, o, d, bitfield, bg, extra=None):
+                        out = dict(wr.render(params, o, d, bitfield,
+                                             jnp.zeros_like(bg), extra))
+                        out["rgb"] = jnp.stack([out["alpha"]] * 3, -1) \
+                            + (1.0 - out["alpha"])[:, None] * bg
+                        return out
+                    self._render_fns[key] = ao_fn
+                return self._render_fns[key]
+
             def fn(params, origins, dirs, bitfield, bg, extra=None):
                 return render_tile(self.model, cfg, params, origins, dirs,
                                    bitfield, aabb_min, aabb_max, bg,
@@ -1026,7 +1105,7 @@ class NerfTestbed:
                      background_color=(0.0, 0.0, 0.0),
                      render_mode: str = "Shade",
                      min_transmittance: float = 1e-2,
-                     tile: int = 1 << 13,
+                     tile: Optional[int] = None,
                      lens_mode: int = 0, lens_params=None,
                      screen_center=(0.5, 0.5),
                      use_distortion_map: bool = False,
@@ -1060,7 +1139,15 @@ class NerfTestbed:
         from ..ops.sampling import ld_pixel_offset
         from .render import camera_rays_for_frame
 
-        if focal_length is None:
+        if tile is None:
+            # wavefront tiles are FAT: its per-depth-chunk host loop
+            # costs one blocking readback per round through the tunnel
+            # (~50 ms), so fewer/larger tiles amortize it (the march is
+            # sub-chunked inside prep to bound memory); render_tile is
+            # one dispatch per tile and prefers small tiles
+            wavefront = (self.render_wavefront
+                         and render_mode in ("Shade", "Depth", "AO"))
+            tile = (1 << 18) if wavefront else (1 << 13)
             fl = np.asarray(self.data.focal_lengths[0])
             res0 = self.data.resolution
             fl = fl * np.array([width / res0[0], height / res0[1]])

@@ -12,9 +12,14 @@ Evidence per arm (all full-resolution 1080x1920, spp 8, 8 fixed views,
 eval_test_transforms semantics: black bg, min transmittance 1e-4, sRGB):
   - full eval at --ab-steps (both arms: the estimator A/B point)
   - full eval at --steps (default arm: the converged point)
-  - cheap timeline evals (downscale 4, spp 2, 2 views) at milestones so
-    the PSNR-vs-time curve and the protocol gap (ds4 vs full-res at the
-    same step) are both on record.
+  - cheap timeline evals at milestones, BOTH protocols (downscale 4 AND
+    full-res, spp 2, 2 views) so the PSNR-vs-time curve and the
+    protocol gap (ds4 vs full-res at the same step) are both on record.
+    NOTE: entries written by the pre-change script lack psnr_full_avg —
+    consumers must read entry.get("psnr_full_avg").
+
+SUPERSEDED by fox_quality_r4.py (adds explicit not-run markers, PNG
+before the full-eval record, wavefront-renderer evals).
 
 Writes walkthrough_out/fox_quality_r3.json + fox_view0_r3.png, keeps a
 resume snapshot per arm (the tunneled TPU can wedge a process for tens
@@ -99,6 +104,15 @@ def run_arm(arm: str, steps: int, milestones, report: dict, args) -> None:
             save(report, args)
         if str(ms) not in rec["full_eval"] and (
                 ms == steps or ms == args.ab_steps):
+            if arm == "default":
+                # PNG BEFORE the full_eval record lands so an
+                # interrupted-then-resumed run cannot skip it
+                img = impl.render_training_view(0, spp=4, width=540,
+                                                height=960)
+                png = os.path.join(args.out_dir, "fox_view0_r3.png")
+                write_image(png, np.clip(img[..., :3], 0,
+                                         1).astype(np.float32))
+                print("wrote", png, flush=True)
             print(f"[{arm}] full-res spp-8 eval at {ms}...", flush=True)
             t0 = time.perf_counter()
             ev = eval_nerf_views(impl, indices=EVAL_VIEWS, spp=8,
@@ -109,15 +123,6 @@ def run_arm(arm: str, steps: int, milestones, report: dict, args) -> None:
                     [round(x, 3) for x in v])
                 for k, v in ev.items()}
             save(report, args)
-            if arm == "default":
-                # committed view render after EVERY full eval so an
-                # interrupted run still leaves the PNG artifact
-                img = impl.render_training_view(0, spp=4, width=540,
-                                                height=960)
-                png = os.path.join(args.out_dir, "fox_view0_r3.png")
-                write_image(png, np.clip(img[..., :3], 0,
-                                         1).astype(np.float32))
-                print("wrote", png, flush=True)
 
 
 def save(report, args):

@@ -281,6 +281,7 @@ def test_scanned_multi_step_dispatch_matches_eager():
         return tb
 
     tb1 = mk()
+    tb1.steps_per_dispatch = 1   # eager reference (scanned is default)
     tb1.train(12)
     tb2 = mk()
     tb2.steps_per_dispatch = 4
@@ -307,6 +308,7 @@ def test_stochastic_corner_schedule_switches_to_exact():
     tb.density_samples_override = 1 << 10
     tb.stochastic_corners = True
     tb.stochastic_corners_until = 6
+    tb.steps_per_dispatch = 1    # exercise the eager path explicitly
     assert tb._stoch_now()
     tb.train(5)
     assert tb._stoch_now()          # step 5 < 6: still stochastic
@@ -353,6 +355,43 @@ def test_camera_and_exposure_optimization_updates_offsets():
     # rendering uses the adjusted camera without error
     img = tb.render_training_view(0, width=16, height=16)
     assert np.isfinite(img).all()
+
+
+def test_scanned_camera_optimization_matches_eager():
+    """Camera/exposure optimization inside the scanned block (gradients
+    summed over the scan, host Adam on the same boundary) must match
+    the eager per-step accumulation."""
+    def mk(k):
+        tb = NerfTestbed(make_dataset(), CFG, compute_dtype=jnp.float32)
+        tb.target_batch_size = 1 << 12
+        tb.rays_per_batch = 256
+        tb.n_march = 96
+        tb.max_samples_per_ray = 32
+        tb.density_samples_override = 1 << 14
+        tb.adapt_ray_batch = False
+        tb.optimize_extrinsics = True
+        tb.optimize_exposure = True
+        tb.n_steps_between_cam_updates = 4
+        tb.steps_per_dispatch = k
+        return tb
+
+    tb1 = mk(1)
+    tb1.train(10)
+    tb2 = mk(4)
+    tb2.train(10)
+    assert tb2.training_step == 10
+    assert np.abs(tb2.cam_pos_offset).max() > 0
+    np.testing.assert_allclose(tb2.cam_pos_offset, tb1.cam_pos_offset,
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(tb2.cam_rot_offset, tb1.cam_rot_offset,
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(tb2.data.exposures),
+                               np.asarray(tb1.data.exposures),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(tb2.state["params"]["pos_encoding"]),
+        np.asarray(tb1.state["params"]["pos_encoding"]),
+        rtol=1e-4, atol=1e-6)
 
 
 def test_error_map_importance_sampling_builds_cdfs():
