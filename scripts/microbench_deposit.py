@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""Backward-deposit strategy microbench (VERDICT r3 #3a).
+
+The encode backward's one-hot row scatter-add runs at 57-61 M rows/s
+vs the 306 M/s row gather (microbench_gather_r3.json) — ~33 ms of the
+~153 ms fox train step. This prices the candidate replacements at the
+train operating point (n = S*L ~ 1.9 M deposits into the ~91k-row
+interleaved table):
+
+  row_deposit        : current baseline — build (chunk, 128) one-hot
+                       rows, acc.at[row].add(rows).
+  row_deposit_sorted : same, entries pre-sorted (payload rides the
+                       sort) — does descriptor-stream locality help?
+  flat4_deposit      : F=4 separate flat scatter-adds (the pre-row
+                       design; 4x descriptors at the flat rate).
+  oob_drop_X         : row deposit with X% of indices out-of-bounds in
+                       drop mode — if dropped descriptors are free,
+                       sort+coalesce can shrink the effective bill on
+                       the duplicate-heavy coarse levels.
+  coalesced_deposit  : sort by entry, segment-sum duplicate runs by
+                       cumsum boundary-diff (dense ops), dupes -> OOB,
+                       then row deposit. Wins only if oob_drop is
+                       cheap AND duplication is heavy.
+
+Duplication regimes measured: `uniform` (hashed-level statistics,
+~52% unique at S=2^18 into 2^19 entries) and `coarse` (level-0
+statistics: 2^18 deposits into 4096 entries, 1.6% unique).
+
+Usage: python scripts/microbench_deposit.py [--n 2097152] [--iters 8]
+Writes walkthrough_out/microbench_deposit_r4.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+F = 4
+EPR = 128 // F  # entries per 128-lane row
+
+
+def _sync(out):
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0:1]))
+
+
+def timed(fn, *args, iters=8):
+    out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) * 1e3 / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 21)
+    ap.add_argument("--entries", type=int, default=1 << 19)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    n = args.n
+    rows = args.entries * F // 128
+
+    key = jax.random.PRNGKey(0)
+    gs = [jax.random.normal(jax.random.fold_in(key, 10 + k), (n,))
+          for k in range(F)]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def row_deposit(entry, g0, g1, g2, g3, n_rows=rows):
+        acc = jnp.zeros((n_rows, 128), jnp.float32)
+        off = ((entry % EPR) * F)[:, None]
+        gl = [g0, g1, g2, g3]
+        rws = None
+        for k in range(F):
+            r = jnp.where(lanes == off + k, gl[k][:, None], 0.0)
+            rws = r if rws is None else rws + r
+        return acc.at[entry // EPR].add(rws, mode="drop")
+
+    def flat4_deposit(entry, g0, g1, g2, g3):
+        acc = jnp.zeros(args.entries * F, jnp.float32)
+        for k, g in enumerate((g0, g1, g2, g3)):
+            acc = acc.at[entry * F + k].add(g, mode="drop")
+        return acc
+
+    def coalesced_deposit(entry, g0, g1, g2, g3):
+        e_s, s0, s1, s2, s3 = jax.lax.sort(
+            (entry, g0, g1, g2, g3), num_keys=1)
+        segs = [s0, s1, s2, s3]
+        # segmented inclusive scan (Hillis-Steele), dense shifts only:
+        # keys are SORTED, so e[i] == e[i-shift] implies the whole
+        # window shares the key — the masked add never crosses a
+        # segment boundary
+        shift = 1
+        while shift < n:
+            same = jnp.concatenate(
+                [jnp.zeros(shift, bool), e_s[shift:] == e_s[:-shift]])
+            segs = [s + jnp.where(
+                same, jnp.concatenate([jnp.zeros(shift, s.dtype),
+                                       s[:-shift]]), 0.0)
+                for s in segs]
+            shift *= 2
+        is_end = jnp.concatenate(
+            [e_s[:-1] != e_s[1:], jnp.ones(1, bool)])
+        # run ends carry the whole run's sum; dupes -> OOB drop
+        e_dep = jnp.where(is_end, e_s, jnp.int32(args.entries * 2))
+        return row_deposit(e_dep,
+                           *[jnp.where(is_end, s, 0.0) for s in segs])
+
+    report = {"backend": jax.default_backend(), "n": n,
+              "entries": args.entries, "f": F, "regimes": {}}
+
+    for regime, n_entries in (("uniform", args.entries),
+                              ("coarse", 4096)):
+        entry = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0,
+                                   n_entries)
+        entry_sorted = jnp.sort(entry)
+        cases = {}
+
+        def run(name, fn, *a):
+            t = timed(jax.jit(fn), *a, iters=args.iters)
+            cases[name] = {"ms": round(t, 3),
+                           "Mdep_per_s": round(n / t / 1e3, 1)}
+
+        run("row_deposit", row_deposit, entry, *gs)
+        run("row_deposit_sorted", row_deposit, entry_sorted, *gs)
+        run("flat4_deposit", flat4_deposit, entry, *gs)
+        for frac in (0.5, 0.9):
+            cut = int(n * frac)
+            e_oob = jnp.where(jnp.arange(n) < cut,
+                              jnp.int32(args.entries * 2), entry)
+            run(f"oob_drop_{int(frac*100)}", row_deposit, e_oob, *gs)
+        run("coalesced_deposit", coalesced_deposit, entry, *gs)
+        # correctness: coalesced == plain on the first feature
+        import numpy as np
+
+        a = np.asarray(jax.jit(row_deposit)(entry, *gs))
+        b = np.asarray(jax.jit(coalesced_deposit)(entry, *gs))
+        cases["coalesced_max_err"] = float(np.abs(a - b).max())
+        report["regimes"][regime] = cases
+        print(regime, json.dumps(cases, indent=1), flush=True)
+
+    out = os.path.join(REPO, "walkthrough_out",
+                       "microbench_deposit_r4.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
