@@ -283,13 +283,34 @@ class WavefrontRenderer:
              - self.aabb_min[c]) / span[c] for c in range(3))
         dirw = tuple(jnp.broadcast_to((d_b[:, c:c + 1] + 1.0) * 0.5,
                                       rt.shape) for c in range(3))
-        extra_flat = None
-        if extra_dims is not None:
-            extra_flat = jnp.broadcast_to(
-                extra_dims[None], (bucket * k, extra_dims.shape[-1]))
-        raw = self.model.apply_components(
-            params, tuple(p.reshape(-1) for p in pos),
-            tuple(w.reshape(-1) for w in dirw), extra_flat)
+        # network eval in sample chunks: the fused encode materializes
+        # (N, L*2^d) index/weight planes, so a fat tile's B*K samples
+        # must not hit apply_components in one call (observed: 32 GB
+        # HBM ask at B=2^18, K=64); lax.map pins peak to one chunk
+        n_s = bucket * k
+        eval_chunk = 1 << 21
+
+        def eval_all(c6):
+            extra_flat = None
+            if extra_dims is not None:
+                extra_flat = jnp.broadcast_to(
+                    extra_dims[None], (c6[0].shape[0],
+                                       extra_dims.shape[-1]))
+            return self.model.apply_components(
+                params, (c6[0], c6[1], c6[2]), (c6[3], c6[4], c6[5]),
+                extra_flat)
+
+        comp6 = [p.reshape(-1) for p in pos] \
+            + [w.reshape(-1) for w in dirw]
+        if n_s <= eval_chunk:
+            raw = eval_all(comp6)
+        else:
+            nc = (n_s + eval_chunk - 1) // eval_chunk
+            pad = nc * eval_chunk - n_s
+            stacked = jnp.stack([jnp.pad(c, (0, pad)) for c in comp6]) \
+                .reshape(6, nc, eval_chunk).transpose(1, 0, 2)
+            outs = jax.lax.map(eval_all, stacked)   # 4 x (nc, chunk)
+            raw = [o.reshape(-1)[:n_s] for o in outs]
         rgb = [network_to_rgb(raw[c].reshape(rt.shape),
                               cfg.rgb_activation) for c in range(3)]
         sigma = network_to_density(raw[3].reshape(rt.shape),
