@@ -1228,8 +1228,11 @@ class NerfTestbed:
                 else jnp.asarray(lens_params, jnp.float32),
                 dist_map, jitter, ap_key)
             n_pad = (n_pixels + tile - 1) // tile * tile
+            # pad rays MISS the aabb (origin far outside, pointing
+            # away): render_tile masks them as invalid, and the
+            # wavefront renderer never spends a round on them
             o = jnp.concatenate(
-                [origins, jnp.zeros((n_pad - n_pixels, 3))])
+                [origins, jnp.full((n_pad - n_pixels, 3), 9.0)])
             d = jnp.concatenate(
                 [dirs, jnp.ones((n_pad - n_pixels, 3)) * 0.577])
             rgbs, alphas, depths = [], [], []
