@@ -198,8 +198,11 @@ class WavefrontRenderer:
     (same candidates, same weights, float-rounding differences only).
     """
 
-    #: alive-count bucket granularity: pow2 steps, floor 512 lanes
-    _MIN_BUCKET = 512
+    #: alive-count bucket floor — quarter-steps anchored at the tile
+    #: size ({R, R/4, R/16, ...}) so at most ~5 round programs compile
+    #: per tile size; remote compiles through the tunnel cost minutes
+    #: each, so program count beats per-round padding waste (<=4x)
+    _MIN_BUCKET = 4096
     #: rays per march sub-chunk inside prep: the march's (rays, n_march)
     #: planes are transient — lax.map over sub-chunks pins peak memory
     #: to one chunk while the packed (rays, C) output spans the full tile
@@ -335,10 +338,10 @@ class WavefrontRenderer:
         return T, acc_rgb, acc_alpha, acc_depth
 
     def _bucket(self, n_alive: int, n_rays: int) -> int:
-        b = self._MIN_BUCKET
-        while b < n_alive:
-            b *= 2
-        return min(b, n_rays)
+        b = n_rays
+        while b // 4 >= max(n_alive, self._MIN_BUCKET):
+            b //= 4
+        return b
 
     def render(self, params, origins: jax.Array, dirs: jax.Array,
                bitfield: jax.Array, bg_color: jax.Array,
