@@ -117,6 +117,10 @@ class GridEncoding(Encoding):
     # gradient noise is better tolerated than forward noise (Adam
     # momentum averages it across steps).
     stochastic_bwd: bool = False
+    # sort + segment-merge duplicate backward deposits before the row
+    # scatter (coarse dense levels are duplicate-heavy); off pending
+    # TPU measurement (scripts/microbench_deposit.py)
+    bwd_coalesce: bool = False
 
     def __post_init__(self):
         assert self.n_dims in (2, 3), "grid encoding supports 2D and 3D inputs"
@@ -211,6 +215,7 @@ class GridEncoding(Encoding):
             dtype=dtype,
             stochastic_exact_axes=config.get("stochastic_exact_axes", 0),
             stochastic_bwd=config.get("stochastic_bwd", False),
+            bwd_coalesce=config.get("bwd_coalesce", False),
         )
 
     # ------------------------------------------------------------------
@@ -537,6 +542,33 @@ class GridEncoding(Encoding):
             feats = jnp.transpose(out, (1, 0, 2)).reshape(f, -1)[:, :n]
         return [feats[k].reshape(entry.shape) for k in range(f)]
 
+    def _coalesce_deposits(self, flat: jax.Array, gflat):
+        """Sort deposits by entry and merge duplicate runs (segmented
+        Hillis-Steele scan — dense shifts only, valid because keys are
+        sorted), pointing merged-away lanes at an out-of-bounds
+        sentinel so the scatter drops them. Wins when the scatter rate
+        improves with fewer LIVE descriptors (duplication is heavy on
+        the coarse dense levels: 2^18 samples deposit into 4k entries).
+        Gated by `bwd_coalesce` pending the microbench
+        (scripts/microbench_deposit.py)."""
+        n = flat.shape[0]
+        sorted_all = jax.lax.sort((flat, *gflat), num_keys=1)
+        e_s, segs = sorted_all[0], list(sorted_all[1:])
+        shift = 1
+        while shift < n:
+            same = jnp.concatenate(
+                [jnp.zeros(shift, bool), e_s[shift:] == e_s[:-shift]])
+            segs = [s + jnp.where(
+                same, jnp.concatenate(
+                    [jnp.zeros(shift, s.dtype), s[:-shift]]), 0.0)
+                for s in segs]
+            shift *= 2
+        is_end = jnp.concatenate([e_s[:-1] != e_s[1:],
+                                  jnp.ones(1, bool)])
+        sentinel = jnp.int32(self._total_params)  # row >= table rows
+        e_dep = jnp.where(is_end, e_s, sentinel)
+        return e_dep, [jnp.where(is_end, s, 0.0) for s in segs]
+
     def _row_scatter_add(self, acc2d: jax.Array, entry: jax.Array, gs):
         """Accumulate per-feature gradients gs (list of F arrays shaped
         like entry) at `entry` into the (rows, 128) accumulator: each
@@ -548,6 +580,8 @@ class GridEncoding(Encoding):
         epr = 128 // f
         flat = entry.reshape(-1)
         gflat = [g.reshape(-1) for g in gs]
+        if self.bwd_coalesce:
+            flat, gflat = self._coalesce_deposits(flat, gflat)
         n = flat.shape[0]
         chunk = self._row_chunk
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -558,7 +592,8 @@ class GridEncoding(Encoding):
             for k in range(f):
                 r = jnp.where(lanes == off + k, gks[k][:, None], 0.0)
                 rows = r if rows is None else rows + r
-            return acc.at[e // epr].add(rows)
+            # drop: coalesced deposits point merged lanes out of bounds
+            return acc.at[e // epr].add(rows, mode="drop")
 
         if n <= chunk:
             return deposit(acc2d, flat, gflat)

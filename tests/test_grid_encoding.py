@@ -455,3 +455,31 @@ def test_row_mode_matches_planar():
                                                       rng=srng))
             scale = max(float(np.abs(o_pk).max()), 1e-6)
             np.testing.assert_allclose(o_row, o_pk, atol=scale * 8e-3)
+
+
+def test_bwd_coalesce_gradient_matches_plain():
+    """bwd_coalesce (sorted + segment-merged deposits, merged lanes
+    dropped OOB) must produce the same table gradient as the plain row
+    deposit — it only reorders/merges float adds."""
+    import dataclasses
+
+    plain = GridEncoding(n_dims=3, n_levels=4, n_features_per_level=4,
+                         log2_hashmap_size=10, base_resolution=4,
+                         per_level_scale=1.9)
+    coal = dataclasses.replace(plain, bwd_coalesce=True)
+    assert plain._row_mode
+    k = jax.random.PRNGKey(3)
+    params = jax.random.normal(jax.random.fold_in(k, 1),
+                               (plain.n_params,)) * 0.2
+    # duplicate-heavy batch: coarse levels map many samples per entry
+    x = jax.random.uniform(jax.random.fold_in(k, 2), (2048, 3))
+
+    def table_grad(enc):
+        return jax.grad(lambda p: jnp.sum(
+            jnp.cos(enc.apply(p, x) * 2.0)))(params)
+
+    g_plain = np.asarray(table_grad(plain))
+    g_coal = np.asarray(table_grad(coal))
+    scale = max(float(np.abs(g_plain).max()), 1.0)
+    np.testing.assert_allclose(g_coal, g_plain, atol=scale * 1e-5)
+    assert np.abs(g_plain).max() > 0
