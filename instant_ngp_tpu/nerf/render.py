@@ -209,7 +209,7 @@ class WavefrontRenderer:
     _MARCH_CHUNK = 1 << 15
 
     def __init__(self, model: NerfNetwork, cfg: RenderConfig, aabb_min,
-                 aabb_max, chunk: int = 64):
+                 aabb_max, chunk: int = 32):
         self.model = model
         self.cfg = cfg
         self.aabb_min = jnp.asarray(aabb_min)
