@@ -191,6 +191,10 @@ def main():
                     "trajectory) at every milestone"},
         "arms": {},
     }
+    # a resumed report keeps its history but the protocol header must
+    # describe what THIS run evaluates (each full_eval also records its
+    # own views list)
+    report["eval_protocol"]["views"] = args.eval_views
     for arm in args.arms:
         steps = args.steps if arm == "default" else args.ab_steps
         run_arm(arm, steps, report, args)
