@@ -1148,6 +1148,8 @@ class NerfTestbed:
             wavefront = (self.render_wavefront
                          and render_mode in ("Shade", "Depth", "AO"))
             tile = (1 << 18) if wavefront else (1 << 13)
+
+        if focal_length is None:
             fl = np.asarray(self.data.focal_lengths[0])
             res0 = self.data.resolution
             fl = fl * np.array([width / res0[0], height / res0[1]])
