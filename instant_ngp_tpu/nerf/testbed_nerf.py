@@ -1147,7 +1147,7 @@ class NerfTestbed:
             # one dispatch per tile and prefers small tiles
             wavefront = (self.render_wavefront
                          and render_mode in ("Shade", "Depth", "AO"))
-            tile = (1 << 18) if wavefront else (1 << 13)
+            tile = (1 << 19) if wavefront else (1 << 13)
 
         if focal_length is None:
             fl = np.asarray(self.data.focal_lengths[0])
