@@ -110,6 +110,12 @@ def run_arm(arm: str, steps: int, report: dict, args) -> None:
     impl.adapt_ray_batch = False
     if arm == "exact":
         impl.stochastic_corners = False
+    elif arm == "no_errmap":
+        # ablation: error-map importance sampling halves the ray mass
+        # onto high-error pixels (reference default too) — it optimizes
+        # a weighted objective, not uniform MSE, so it is a decay
+        # suspect independent of the estimator
+        impl.use_error_map_sampling = False
 
     tb.train(1)   # compile warm-up outside the timed window
     trained = max(trained, impl.training_step)
