@@ -215,6 +215,12 @@ class WavefrontRenderer:
         self.aabb_min = jnp.asarray(aabb_min)
         self.aabb_max = jnp.asarray(aabb_max)
         self.chunk = chunk
+        # depth windows slice a fixed `chunk` of candidates per round, so
+        # the packed buffers are padded up to a chunk multiple (padding
+        # lanes carry ok=False and composite to zero). Without this, a
+        # march budget smaller than one chunk crashed dynamic_slice, and
+        # a non-multiple budget would double-composite its clamped tail.
+        self._c_pad = -(-cfg.max_samples_per_ray // chunk) * chunk
         self._prep = jax.jit(self._prep_impl)
         self._round_fns: Dict[Tuple[int, bool], Any] = {}
 
@@ -243,8 +249,13 @@ class WavefrontRenderer:
         key = jnp.where(emit, jnp.arange(m, dtype=jnp.int32)[None, :], m)
         keys_s, ts_s = jax.lax.sort((key, ts), num_keys=1)
         c = cfg.max_samples_per_ray
-        return (ts_s[:, :c], keys_s[:, :c] < m,
-                jnp.sum(emit, axis=1).astype(jnp.int32), valid)
+        ts_c, ok_c = ts_s[:, :c], keys_s[:, :c] < m
+        if self._c_pad > c:
+            pad = ((0, 0), (0, self._c_pad - c))
+            ts_c = jnp.pad(ts_c, pad)
+            ok_c = jnp.pad(ok_c, pad)
+        n_cand = jnp.minimum(jnp.sum(emit, axis=1), c).astype(jnp.int32)
+        return ts_c, ok_c, n_cand, valid
 
     def _prep_impl(self, origins, dirs, bitfield):
         n_rays = origins.shape[0]
@@ -260,7 +271,7 @@ class WavefrontRenderer:
         ts, ok, n_cand, valid = jax.lax.map(
             lambda od: self._march_and_pack(od[0], od[1], bitfield),
             (o, d))
-        c = self.cfg.max_samples_per_ray
+        c = self._c_pad
         return (ts.reshape(-1, c)[:n_rays], ok.reshape(-1, c)[:n_rays],
                 n_cand.reshape(-1)[:n_rays], valid.reshape(-1)[:n_rays])
 

@@ -85,3 +85,42 @@ def test_wavefront_early_out_skips_dead_rays():
     out = wr.render(params, o, d, tb.bitfield, jnp.zeros((256, 3)))
     assert int(out["n_samples"]) == 0
     np.testing.assert_allclose(np.asarray(out["alpha"]), 0.0)
+
+
+def test_wavefront_budget_smaller_than_chunk():
+    """Regression (round-4 crash): a march budget smaller than the depth
+    chunk K must render, not crash dynamic_slice — and must still match
+    render_tile on the same (budget-truncated) candidate set. Also
+    covers a non-chunk-multiple budget, whose clamped tail window used
+    to double-composite."""
+    from instant_ngp_tpu.nerf.render import RenderConfig, WavefrontRenderer
+    from instant_ngp_tpu.nerf.render import render_tile
+
+    tb = _trained_testbed()
+    cam = np.asarray(tb.data.xforms_start[0])
+    from instant_ngp_tpu.nerf.render import camera_rays_for_frame
+    o, d = camera_rays_for_frame(8, 8, (40.0, 40.0), cam[:3])
+    params = tb.inference_params()
+    bg = jnp.full((64, 3), 0.25)
+
+    for budget in (16, 24):  # < chunk, and non-multiple of chunk
+        cfg = RenderConfig(
+            n_rays=64, n_march=96, max_samples_per_ray=budget,
+            sample_capacity=64 * budget,
+            cone_angle=tb.scene.cone_angle_constant,
+            max_mip=tb.scene.max_cascade,
+            rgb_activation=tb.scene.rgb_activation,
+            density_activation=tb.scene.density_activation,
+            min_transmittance=1e-4)
+        wr = WavefrontRenderer(tb.model, cfg, tb.scene.aabb_min,
+                               tb.scene.aabb_max, chunk=32)
+        wf = wr.render(params, o, d, tb.bitfield, bg)
+        ref = render_tile(tb.model, cfg, params, o, d, tb.bitfield,
+                          jnp.asarray(tb.scene.aabb_min),
+                          jnp.asarray(tb.scene.aabb_max), bg)
+        np.testing.assert_allclose(
+            np.asarray(wf["rgb"]), np.asarray(ref["rgb"]),
+            rtol=1e-4, atol=1e-5, err_msg=f"budget {budget}")
+        np.testing.assert_allclose(
+            np.asarray(wf["alpha"]), np.asarray(ref["alpha"]),
+            rtol=1e-4, atol=1e-5, err_msg=f"budget {budget}")
