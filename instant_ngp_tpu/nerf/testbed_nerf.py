@@ -176,6 +176,9 @@ class NerfTestbed:
         # linear_colors default false; --nerf_compatibility flips bg off)
         self.random_bg_color = True
         self.train_in_linear_colors = False
+        # ablation knob (PSNR-decay bisect, scripts/decay_bisect_r5.py):
+        # drop the output-L2 / density-L1 / near-plane loss regularizers
+        self.disable_regularizers = False
 
         # camera optimization (nerf.h:88-110 defaults)
         self.optimize_extrinsics = False
@@ -311,6 +314,8 @@ class NerfTestbed:
             use_error_map=self.use_error_map_sampling,
             error_map_res=self._error_map_res,
             stochastic_corners=self._stoch_now(),
+            disable_regularizers=getattr(self, "disable_regularizers",
+                                         False),
         )
 
     def _get_train_fn(self, n_rays: int, max_k: int):
@@ -320,6 +325,7 @@ class NerfTestbed:
                self.train_envmap, self.optimize_distortion,
                self._error_cdfs is not None, self._error_map_res,
                self.random_bg_color, self.train_in_linear_colors,
+               getattr(self, "disable_regularizers", False),
                self._stoch_now())  # stoch flag last (tests key on it)
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)
@@ -362,6 +368,7 @@ class NerfTestbed:
         key = ("scan", n_rays, max_k, n_scan, prep_mode,
                self._error_cdfs is not None, self._error_map_res,
                has_error_map, has_cam, self.optimize_exposure,
+               getattr(self, "disable_regularizers", False),
                self._stoch_now())  # stoch flag last (tests key on it)
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)

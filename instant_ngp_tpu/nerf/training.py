@@ -76,6 +76,7 @@ def composite_loss(raw_channels, samples: SampleBatch,
                    depth_target: Optional[jax.Array] = None,
                    depth_supervision_lambda: float = 0.0,
                    depth_loss_type: LossType = LossType.L1,
+                   disable_regularizers: bool = False,
                    ) -> CompositeResult:
     """Composite directly in the (R, M) CANDIDATE domain.
 
@@ -174,6 +175,9 @@ def composite_loss(raw_channels, samples: SampleBatch,
 
     # ---- regularizers with reference-equal gradients (:1058-1115) ----
     reg = 0.0
+    if disable_regularizers:
+        return CompositeResult(loss_main + loss_depth, per_ray_loss,
+                               jnp.sum(n_alive), ray_ch, depth_ray)
     if rgb_activation == "Exponential":
         # grad += max(0, 1e-4 * out): loss term 0.5e-4 * relu(out)^2
         for c in (raw_r, raw_g, raw_b):
@@ -225,6 +229,9 @@ class NerfTrainStepConfig(NamedTuple):
     # (the measured cost unit on TPU v5e). Auto-disabled when camera or
     # distortion optimization needs dL/d(pos) through the encoding.
     stochastic_corners: bool = False
+    # ablation knob (PSNR-decay bisect): drop the output-L2 / density-L1
+    # / near-plane regularizer terms from the loss
+    disable_regularizers: bool = False
 
 
 def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
@@ -345,7 +352,8 @@ def nerf_train_step(model: NerfNetwork, optimizer, cfg: NerfTrainStepConfig,
             tuple(raw), samples, ts, dts, rays, bg_used, exposure,
             cfg.rgb_activation, cfg.density_activation, cfg.loss_type,
             mean_density, cfg.near_distance, cfg.train_in_linear_colors,
-            depth_target, cfg.depth_supervision_lambda)
+            depth_target, cfg.depth_supervision_lambda,
+            disable_regularizers=cfg.disable_regularizers)
         return result.loss_for_grad, result
 
     (loss_val, result), (grads, aux_grads) = jax.value_and_grad(
