@@ -44,12 +44,20 @@ class RenderConfig(NamedTuple):
     density_activation: str
     min_transmittance: float = 1e-2
     render_mode: str = "Shade"
+    # render with the training-path stochastic-corner encode (axis-exact
+    # j=1: 2 row fetches per sample-level instead of the exact path's 8)
+    # — unbiased per-sample noise that averages out over spp exactly like
+    # training noise. ~4x fewer gather descriptors on the eval-render
+    # wall (docs/tpu_performance_model.md round-4 section). Ignored by
+    # modes needing spatial input gradients (Normals).
+    stochastic_corners: bool = False
 
 
 def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
                 origins: jax.Array, dirs: jax.Array, bitfield: jax.Array,
                 aabb_min, aabb_max, bg_color: jax.Array,
-                extra_dims: Optional[jax.Array] = None
+                extra_dims: Optional[jax.Array] = None,
+                rng: Optional[jax.Array] = None
                 ) -> Dict[str, jax.Array]:
     """Render one tile of rays. origins/dirs (R, 3) in NGP space, dirs
     normalized; bg_color (R, 3) linear. Returns rgba + depth."""
@@ -100,8 +108,11 @@ def render_tile(model: NerfNetwork, cfg: RenderConfig, params,
         raw_ch = (*normals, sig)
         shade_is_raw = True
     else:
+        enc_rng = rng if (cfg.stochastic_corners and rng is not None) \
+            else None
         raw_ch = model.apply_components(params, samples.positions,
-                                        samples.dirs, extra_flat)
+                                        samples.dirs, extra_flat,
+                                        encode_rng=enc_rng)
         shade_is_raw = False
 
     # composite in the (R, M) candidate domain: the network's flat
@@ -275,8 +286,9 @@ class WavefrontRenderer:
         return (ts.reshape(-1, c)[:n_rays], ok.reshape(-1, c)[:n_rays],
                 n_cand.reshape(-1)[:n_rays], valid.reshape(-1)[:n_rays])
 
-    def _round_fn(self, bucket: int, has_extra: bool):
-        key = (bucket, has_extra)
+    def _round_fn(self, bucket: int, has_extra: bool,
+                  has_rng: bool = False):
+        key = (bucket, has_extra, has_rng)
         if key not in self._round_fns:
             self._round_fns[key] = jax.jit(
                 partial(self._round_impl, bucket))
@@ -284,7 +296,7 @@ class WavefrontRenderer:
 
     def _round_impl(self, bucket, params, packed_ts, packed_ok, origins,
                     dirs, T, acc_rgb, acc_alpha, acc_depth, idx, start,
-                    extra_dims):
+                    extra_dims, rng=None):
         cfg = self.cfg
         k = self.chunk
         # contiguous depth window first (dense slice, zero descriptors),
@@ -308,6 +320,9 @@ class WavefrontRenderer:
         n_s = bucket * k
         eval_chunk = 1 << 21
 
+        enc_rng = rng if (cfg.stochastic_corners and rng is not None) \
+            else None
+
         def eval_all(c6):
             extra_flat = None
             if extra_dims is not None:
@@ -316,7 +331,7 @@ class WavefrontRenderer:
                                        extra_dims.shape[-1]))
             return self.model.apply_components(
                 params, (c6[0], c6[1], c6[2]), (c6[3], c6[4], c6[5]),
-                extra_flat)
+                extra_flat, encode_rng=enc_rng)
 
         comp6 = [p.reshape(-1) for p in pos] \
             + [w.reshape(-1) for w in dirw]
@@ -360,7 +375,8 @@ class WavefrontRenderer:
 
     def render(self, params, origins: jax.Array, dirs: jax.Array,
                bitfield: jax.Array, bg_color: jax.Array,
-               extra_dims: Optional[jax.Array] = None
+               extra_dims: Optional[jax.Array] = None,
+               rng: Optional[jax.Array] = None
                ) -> Dict[str, jax.Array]:
         """Same contract as render_tile (rgb composited over bg_color)."""
         cfg = self.cfg
@@ -402,11 +418,14 @@ class WavefrontRenderer:
             b = self._bucket(n_alive, n_rays)
             idx = np.full(b, n_rays, np.int32)
             idx[:n_alive] = np.nonzero(alive)[0][:b]
-            fn = self._round_fn(b, extra_dims is not None)
+            fn = self._round_fn(b, extra_dims is not None,
+                                rng is not None)
+            round_rng = None if rng is None else \
+                jax.random.fold_in(rng, start)
             T, acc_rgb, acc_alpha, acc_depth = fn(
                 params, packed_ts, packed_ok, origins, dirs, T, acc_rgb,
                 acc_alpha, acc_depth, jnp.asarray(idx),
-                jnp.int32(start), extra_dims)
+                jnp.int32(start), extra_dims, round_rng)
             inflight.append(T)
             n_evaluated += b * self.chunk
         rgb = acc_rgb + (1.0 - acc_alpha)[:, None] * bg_color

@@ -112,6 +112,11 @@ class NerfTestbed:
         # never evaluated — NerfTracer::trace semantics); off falls back
         # to the single-dispatch capacity-bound render_tile
         self.render_wavefront = True
+        # render with the training-path stochastic-corner (j=1) encode:
+        # ~4x fewer gather descriptors per sample on the eval-render
+        # wall; per-spp-pass keys average the estimator noise exactly
+        # like subpixel jitter. Off = the reference-exact d-linear path.
+        self.render_stochastic_corners = False
         # generation capacity = multiplier * target batch (the reference
         # sizes its uncompacted buffers at 16x target, testbed_nerf.cu:2685,
         # but pads the COMPACTED batch to the target with fill_rollover —
@@ -1043,7 +1048,9 @@ class NerfTestbed:
 
     def _get_render_fn(self, tile: int, mode: str, min_transmittance: float,
                        has_extra: bool = False):
-        key = (tile, mode, min_transmittance, has_extra)
+        stoch = (self.render_stochastic_corners
+                 and mode not in ("Normals", "EncodingVis"))
+        key = (tile, mode, min_transmittance, has_extra, stoch)
         if not hasattr(self, "_render_fns"):
             self._render_fns = {}
         if key not in self._render_fns:
@@ -1067,7 +1074,8 @@ class NerfTestbed:
                 rgb_activation=self.scene.rgb_activation,
                 density_activation=self.scene.density_activation,
                 min_transmittance=min_transmittance,
-                render_mode=mode)
+                render_mode=mode,
+                stochastic_corners=stoch)
             aabb_min = jnp.asarray(self.scene.aabb_min)
             aabb_max = jnp.asarray(self.scene.aabb_max)
 
@@ -1082,27 +1090,32 @@ class NerfTestbed:
                 if mode == "Shade":
                     self._render_fns[key] = wr.render
                 elif mode == "Depth":
-                    def depth_fn(params, o, d, bitfield, bg, extra=None):
+                    def depth_fn(params, o, d, bitfield, bg, extra=None,
+                                 rng=None):
                         out = dict(wr.render(params, o, d, bitfield,
-                                             jnp.zeros_like(bg), extra))
+                                             jnp.zeros_like(bg), extra,
+                                             rng=rng))
                         out["rgb"] = jnp.stack([out["depth"]] * 3, -1) \
                             + (1.0 - out["alpha"])[:, None] * bg
                         return out
                     self._render_fns[key] = depth_fn
                 else:
-                    def ao_fn(params, o, d, bitfield, bg, extra=None):
+                    def ao_fn(params, o, d, bitfield, bg, extra=None,
+                              rng=None):
                         out = dict(wr.render(params, o, d, bitfield,
-                                             jnp.zeros_like(bg), extra))
+                                             jnp.zeros_like(bg), extra,
+                                             rng=rng))
                         out["rgb"] = jnp.stack([out["alpha"]] * 3, -1) \
                             + (1.0 - out["alpha"])[:, None] * bg
                         return out
                     self._render_fns[key] = ao_fn
                 return self._render_fns[key]
 
-            def fn(params, origins, dirs, bitfield, bg, extra=None):
+            def fn(params, origins, dirs, bitfield, bg, extra=None,
+                   rng=None):
                 return render_tile(self.model, cfg, params, origins, dirs,
                                    bitfield, aabb_min, aabb_max, bg,
-                                   extra_dims=extra)
+                                   extra_dims=extra, rng=rng)
 
             self._render_fns[key] = jax.jit(fn)
         return self._render_fns[key]
@@ -1245,12 +1258,22 @@ class NerfTestbed:
             d = jnp.concatenate(
                 [dirs, jnp.ones((n_pad - n_pixels, 3)) * 0.577])
             rgbs, alphas, depths = [], [], []
+            stoch_render = (self.render_stochastic_corners
+                            and render_mode not in ("Normals",
+                                                    "EncodingVis"))
             for i in range(0, n_pad, tile):
                 d_tile = d[i:i + tile]
                 bg = bg_const if env_params is None else \
                     self._env_bg_fn(env_params, d_tile, bg_const)
+                render_rng = None
+                if stoch_render:
+                    # fresh key per (spp pass, tile): estimator noise
+                    # decorrelates across spp and averages out
+                    render_rng = jax.random.fold_in(
+                        jax.random.fold_in(
+                            jax.random.PRNGKey(self.seed ^ 0x7E4D), s), i)
                 out = fn(params, o[i:i + tile], d_tile,
-                         self.bitfield, bg, extra_dims)
+                         self.bitfield, bg, extra_dims, rng=render_rng)
                 rgbs.append(out["rgb"])
                 alphas.append(out["alpha"])
                 depths.append(out["depth"])
