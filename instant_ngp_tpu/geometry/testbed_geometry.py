@@ -31,11 +31,16 @@ from ..sdf.brdf import BRDFParams, evaluate_shading
 
 
 class MeshObject:
-    """Per-object mesh bundle (mesh.h:18-42 MeshData)."""
+    """Per-object mesh bundle (mesh.h:18-42 MeshData; `scale` mirrors
+    MeshData::scale, mesh.h:28 — applied about the mesh's own centroid
+    before placement)."""
 
-    def __init__(self, path: str, center):
+    def __init__(self, path: str, center, scale: float = 1.0):
         tris = load_obj(path) if path else np.zeros((0, 3, 3), np.float32)
         center = np.asarray(center, np.float32)
+        if len(tris) and scale != 1.0:
+            centroid = tris.reshape(-1, 3).mean(0)
+            tris = (tris - centroid) * float(scale) + centroid
         self.triangles = (tris + center).astype(np.float32)
         self.center = center
         if len(self.triangles):
@@ -116,7 +121,8 @@ class GeometryTestbed:
                     path = cand
             center = g.get("center", [0.0, 0.0, 0.0])
             if g.get("type") == "Mesh":
-                self.meshes.append(MeshObject(path, center))
+                self.meshes.append(MeshObject(path, center,
+                                              g.get("scale", 1.0)))
             elif g.get("type") == "Nerf":
                 self.nerfs.append(NerfObject(path, center))
 
@@ -223,12 +229,23 @@ class GeometryTestbed:
         rgba = np.concatenate([color, alpha[:, None]], -1)
         return rgba.reshape(height, width, 4).astype(np.float32)
 
-    def _march_nerf_object(self, nerf: NerfObject, origins, dirs, t_max):
-        """Fixed-step march of one NeRF object in its own local frame."""
+    def _march_nerf_object(self, nerf: NerfObject, origins, dirs, t_max,
+                           chunk: int = 1 << 15):
+        """Fixed-step march of one NeRF object in its own local frame.
+
+        Rays run in `chunk`-sized bands: each band evaluates
+        chunk x 128 samples whose encode planes are (N, L*2^d) — an
+        unchunked 512^2 frame would materialize multiple GB at once."""
+        n = len(origins)
+        if n > chunk:
+            outs = [self._march_nerf_object(
+                nerf, origins[i:i + chunk], dirs[i:i + chunk],
+                t_max[i:i + chunk], chunk) for i in range(0, n, chunk)]
+            return tuple(np.concatenate([o[k] for o in outs])
+                         for k in range(3))
         from ..nerf.march import ray_intersect_aabb, warp_direction, \
             warp_position
         from ..nerf.model import network_to_density, network_to_rgb
-        from ..nerf.occupancy import update_bitfield
 
         lo = jnp.asarray(nerf.aabb[0])
         hi = jnp.asarray(nerf.aabb[1])

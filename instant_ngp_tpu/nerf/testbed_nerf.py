@@ -194,6 +194,16 @@ class NerfTestbed:
         self.intrinsic_l2_reg = 1e-4
         self.exposure_l2_reg = 0.0
         self.n_steps_between_cam_updates = 16
+        # extrinsics/focal gradients need dL/d(pos) through the encoding,
+        # which forces the exact 8-corner encode (~4x step cost). Instead
+        # of paying that every step, compute the camera gradient on one
+        # step per interval and scale it by the interval — an unbiased
+        # estimate of the reference's per-window accumulation
+        # (testbed_nerf.cu:2601-2680 applies on the same 16-step
+        # boundary). Effective interval is clamped to the update window;
+        # 1 = reference semantics (every step). Exposure gradients don't
+        # rebuild rays and stay per-step either way.
+        self.cam_grad_interval = 16
         n_img = self.data.n_images
         self.cam_pos_offset = np.zeros((n_img, 3), np.float32)
         self.cam_rot_offset = np.zeros((n_img, 3), np.float32)
@@ -284,6 +294,12 @@ class NerfTestbed:
         self._steps_at_last_sync = 0
 
     # ------------------------------------------------------------------
+    def _cam_grad_interval_eff(self) -> int:
+        """Effective camera-gradient sampling interval (clamped to the
+        host-Adam window so every window sees >= 1 gradient step)."""
+        return max(1, min(getattr(self, "cam_grad_interval", 1),
+                          self.n_steps_between_cam_updates))
+
     def _stoch_now(self) -> bool:
         """Effective stochastic-corner flag at the CURRENT training step
         (the coarse-to-fine variance schedule: stochastic until
@@ -323,7 +339,8 @@ class NerfTestbed:
                                          False),
         )
 
-    def _get_train_fn(self, n_rays: int, max_k: int):
+    def _get_train_fn(self, n_rays: int, max_k: int,
+                      cam_now: bool = True):
         key = (n_rays, max_k, self.optimize_extrinsics,
                self.optimize_focal_length, self.optimize_exposure,
                self.optimize_extra_dims,
@@ -331,9 +348,15 @@ class NerfTestbed:
                self._error_cdfs is not None, self._error_map_res,
                self.random_bg_color, self.train_in_linear_colors,
                getattr(self, "disable_regularizers", False),
+               cam_now,
                self._stoch_now())  # stoch flag last (tests key on it)
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)
+            if not cam_now:
+                # off-interval step: skip the extrinsics/focal gradient
+                # (and with it the exact-encode rebuild); rays still use
+                # the CURRENT camera offsets
+                cfg = cfg._replace(optimize_camera=False)
             aabb_min = jnp.asarray(self.scene.aabb_min)
             aabb_max = jnp.asarray(self.scene.aabb_max)
 
@@ -370,13 +393,17 @@ class NerfTestbed:
         has_error_map = self._error_map is not None
         has_cam = (self.optimize_extrinsics or self.optimize_focal_length
                    or self.optimize_exposure)
+        has_ext = self.optimize_extrinsics or self.optimize_focal_length
+        interval_gt1 = has_ext and self._cam_grad_interval_eff() > 1
         key = ("scan", n_rays, max_k, n_scan, prep_mode,
                self._error_cdfs is not None, self._error_map_res,
                has_error_map, has_cam, self.optimize_exposure,
                getattr(self, "disable_regularizers", False),
+               interval_gt1,
                self._stoch_now())  # stoch flag last (tests key on it)
         if key not in self._train_fns:
             cfg = self._train_cfg(n_rays, max_k)
+            cfg_nocam = cfg._replace(optimize_camera=False)
             aabb_min = jnp.asarray(self.scene.aabb_min)
             aabb_max = jnp.asarray(self.scene.aabb_max)
             n_cascades = self.scene.max_cascade + 1
@@ -393,17 +420,10 @@ class NerfTestbed:
 
             def block(state, density_grid, error_map, data, bitfield,
                       mean_density, train_rngs, density_rngs, error_cdfs,
-                      decay, cam):
-                def body(carry, rngs):
-                    st, grid, bf, mean, em = carry
-                    t_rng, d_rng = rngs
-                    if prep_per_step:
-                        params = self.optimizer.inference_params(
-                            st["opt"], st["params"])
-                        grid, bf, mean = density_body(params, grid,
-                                                      d_rng, decay)
+                      decay, cam, cam_flags):
+                def one_step(cfg_step, st, bf, mean, em, t_rng):
                     new_st, stats = nerf_train_step(
-                        self.model, self.optimizer, cfg, aabb_min,
+                        self.model, self.optimizer, cfg_step, aabb_min,
                         aabb_max, st, data, bf, mean, t_rng,
                         cam=cam if has_cam else None,
                         error_cdfs=error_cdfs,
@@ -415,6 +435,33 @@ class NerfTestbed:
                             "measured_batch_size_before_compaction",
                             "fused", "cam_gradient", "exposure_gradient")
                            if k in stats}
+                    if has_ext and "cam_gradient" not in out:
+                        # no-cam-grad steps contribute a zero so both
+                        # cond branches share one output structure
+                        out["cam_gradient"] = jax.tree_util.tree_map(
+                            jnp.zeros_like, cam)
+                    return new_st, em2, out
+
+                def body(carry, xs):
+                    st, grid, bf, mean, em = carry
+                    t_rng, d_rng, cam_flag = xs
+                    if prep_per_step:
+                        params = self.optimizer.inference_params(
+                            st["opt"], st["params"])
+                        grid, bf, mean = density_body(params, grid,
+                                                      d_rng, decay)
+                    if interval_gt1:
+                        # camera-gradient steps pay the exact-encode
+                        # rebuild; the others run the cheap stochastic
+                        # path (cam_grad_interval, __init__ comment)
+                        new_st, em2, out = jax.lax.cond(
+                            cam_flag,
+                            lambda op: one_step(cfg, *op),
+                            lambda op: one_step(cfg_nocam, *op),
+                            (st, bf, mean, em, t_rng))
+                    else:
+                        new_st, em2, out = one_step(cfg, st, bf, mean,
+                                                    em, t_rng)
                     return (new_st, grid, bf, mean, em2), out
 
                 if prep_mode == "lead":
@@ -427,7 +474,7 @@ class NerfTestbed:
                     body,
                     (state, density_grid, bitfield, mean_density,
                      error_map),
-                    (train_rngs, density_rngs))
+                    (train_rngs, density_rngs, cam_flags))
                 # scalars report the block's last step; aux gradients SUM
                 # over the scan (the eager path accumulates them per
                 # step with tree-add — same total at the 16-boundary)
@@ -542,15 +589,25 @@ class NerfTestbed:
         em = self._error_map
         if em is None:
             em = jnp.zeros((1, 1), jnp.float32)  # unused placeholder
+        interval = self._cam_grad_interval_eff()
+        since = self._n_steps_since_cam_update
+        cam_flags = jnp.asarray(
+            [(since + j) % interval == interval - 1
+             for j in range(n_scan)])
         (self.state, self.density_grid, self.bitfield, self.mean_density,
          em, stats) = fn(
             self.state, self.density_grid, em, self.data, self.bitfield,
             self.mean_density, train_rngs, density_rngs,
-            self._error_cdfs, 0.95, self._cam_dict())
+            self._error_cdfs, 0.95, self._cam_dict(), cam_flags)
         # camera/exposure gradients arrive pre-summed over the block;
-        # the host Adam applies on the same 16-step boundary as eager
+        # the host Adam applies on the same 16-step boundary as eager.
+        # Sampled cam gradients scale by the interval so the window sum
+        # keeps the reference accumulation's expectation.
         if "cam_gradient" in stats:
             g = stats["cam_gradient"]
+            if interval > 1:
+                g = jax.tree_util.tree_map(
+                    lambda x: x * float(interval), g)
             self._cam_grad_accum = g if self._cam_grad_accum is None \
                 else jax.tree_util.tree_map(jnp.add,
                                             self._cam_grad_accum, g)
@@ -801,7 +858,15 @@ class NerfTestbed:
             # per-chip ray bucket; the effective batch is n_rays * shards
             n_rays = self._bucket(self.rays_per_batch // self._n_shards)
             max_k = self._bucket_k(n_rays * self._n_shards)
-            fn = self._get_train_fn(n_rays, max_k)
+            cam_active = (self.optimize_extrinsics
+                          or self.optimize_focal_length)
+            interval = self._cam_grad_interval_eff()
+            # mesh path keeps per-step cam gradients (correctness-first
+            # multi-chip path; the interval optimization is single-chip)
+            cam_now = ((not cam_active) or self.mesh is not None
+                       or (self._n_steps_since_cam_update % interval
+                           == interval - 1))
+            fn = self._get_train_fn(n_rays, max_k, cam_now)
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                      self.training_step)
             if self.mesh is not None:
@@ -837,6 +902,11 @@ class NerfTestbed:
                 self.distortion_map.step(stats["distortion_gradient"])
             if "cam_gradient" in stats:
                 g = stats["cam_gradient"]
+                if interval > 1 and self.mesh is None:
+                    # sampled gradient scales by the interval to keep
+                    # the window-sum expectation (cam_grad_interval)
+                    g = jax.tree_util.tree_map(
+                        lambda x: x * float(interval), g)
                 self._cam_grad_accum = g if self._cam_grad_accum is None \
                     else jax.tree_util.tree_map(jnp.add,
                                                 self._cam_grad_accum, g)
