@@ -108,6 +108,11 @@ class NerfTestbed:
         # render-path network-query budget per tile dispatch (reference
         # target_n_queries, testbed_nerf.cu:1697-1698)
         self.render_query_budget = 2 << 20
+        # per-ray candidate cap at render time (None = min(march cap,
+        # 512)). The cap truncates the DEEP tail of a ray's candidates;
+        # on scenes whose occupancy grows with training, a binding cap
+        # silently sheds far content from eval renders.
+        self.render_max_samples_per_ray: Optional[int] = None
         # early-out wavefront renderer for Shade/Depth/AO (dead rays are
         # never evaluated — NerfTracer::trace semantics); off falls back
         # to the single-dispatch capacity-bound render_tile
@@ -1120,7 +1125,8 @@ class NerfTestbed:
                        has_extra: bool = False):
         stoch = (self.render_stochastic_corners
                  and mode not in ("Normals", "EncodingVis"))
-        key = (tile, mode, min_transmittance, has_extra, stoch)
+        key = (tile, mode, min_transmittance, has_extra, stoch,
+               self.render_max_samples_per_ray)
         if not hasattr(self, "_render_fns"):
             self._render_fns = {}
         if key not in self._render_fns:
@@ -1133,7 +1139,8 @@ class NerfTestbed:
             # tail uniformly, so late rays can't starve and the network
             # never evaluates a 64x-padded buffer (which made one eval
             # view cost 270 s on TPU)
-            k_render = min(self.max_samples_per_ray, 512)
+            k_render = (self.render_max_samples_per_ray
+                        or min(self.max_samples_per_ray, 512))
             cfg = RenderConfig(
                 n_rays=tile, n_march=self.n_march,
                 max_samples_per_ray=k_render,

@@ -79,6 +79,11 @@ def run_arm(arm, scene, snap, report, path):
         impl.prep_every = 1 << 30   # no density update ever fires again
     elif arm == "no_reg":
         impl.disable_regularizers = True
+    elif arm == "prep1":
+        # reference cadence: density update EVERY step (training_prep
+        # runs per step in the reference; the repo amortizes to one
+        # mixed prep per 16 — a 16x slower carve)
+        impl.prep_every = 1
 
     rec = report["arms"].setdefault(arm, {"timeline": []})
     trained = BASE_STEP

@@ -148,8 +148,8 @@ def geometry_arm(nerf_steps: int):
     # matte cube, dielectric bunny)
     tb.meshes[0].brdf.basecolor = np.array([0.65, 0.28, 0.2], np.float32)
     tb.meshes[0].brdf.roughness = 0.25
-    tb.meshes[1].brdf.basecolor = np.array([0.2, 0.35, 0.7], np.float32)
-    tb.meshes[1].brdf.metallic = 0.8
+    tb.meshes[1].brdf.basecolor = np.array([0.3, 0.45, 0.8], np.float32)
+    tb.meshes[1].brdf.metallic = 0.4
     tb.meshes[1].brdf.roughness = 0.15
     tb.meshes[2].brdf.basecolor = np.array([0.25, 0.6, 0.3], np.float32)
     tb.meshes[2].brdf.roughness = 0.6
