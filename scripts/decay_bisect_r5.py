@@ -70,9 +70,27 @@ def eval_both(impl):
 
 
 def run_arm(arm, scene, snap, report, path):
-    tb = fresh_testbed(scene)
-    tb.load_snapshot(snap)
-    impl = tb.impl
+    if arm == "f32":
+        # full-f32 compute (the shipped default is bf16 MLP compute with
+        # f32 masters): if decay stops, long-run bf16 rounding is the
+        # degradation channel
+        import jax.numpy as jnp
+
+        from instant_ngp_tpu.config import (find_network_config,
+                                            load_network_config)
+        from instant_ngp_tpu.data.nerf_loader import load_nerf
+        from instant_ngp_tpu.data.snapshot import load_snapshot
+        from instant_ngp_tpu.nerf.testbed_nerf import NerfTestbed
+
+        ds = load_nerf([scene])
+        cfg = load_network_config(find_network_config("base.json",
+                                                      mode="nerf"))
+        impl = NerfTestbed(ds, cfg, compute_dtype=jnp.float32)
+        impl.load_snapshot_state(load_snapshot(snap))
+    else:
+        tb = fresh_testbed(scene)
+        tb.load_snapshot(snap)
+        impl = tb.impl
     impl.rays_per_batch = 1 << 11
     impl.adapt_ray_batch = False
     if arm == "freeze_grid":
@@ -84,21 +102,29 @@ def run_arm(arm, scene, snap, report, path):
         # runs per step in the reference; the repo amortizes to one
         # mixed prep per 16 — a 16x slower carve)
         impl.prep_every = 1
+    elif arm == "loss_l2":
+        # Huber saturates large per-pixel errors while PSNR is
+        # MSE-dominated by them; L2 keeps full gradient pressure on
+        # outlier pixels (floaters). The reference default is Huber
+        # too, so this arm tests an interaction, not a divergence.
+        from instant_ngp_tpu.ops.losses import LossType
+
+        impl.loss_type = LossType.L2
 
     rec = report["arms"].setdefault(arm, {"timeline": []})
     trained = BASE_STEP
     t_train = 0.0
-    tb.train(1)  # compile warmup outside timing
+    impl.train(1)  # compile warmup outside timing
     trained = impl.training_step
     for ms in MILESTONES:
         t0 = time.perf_counter()
-        tb.train(ms - trained)
+        impl.train(ms - trained)
         t_train += time.perf_counter() - t0
         trained = ms
         p_ema, p_raw = eval_both(impl)
         entry = {"step": ms, "psnr_ema": round(p_ema, 3),
                  "psnr_raw": round(p_raw, 3),
-                 "loss": round(tb.loss, 6),
+                 "loss": round(float(impl.loss_scalar), 6),
                  "mean_density": round(float(impl.mean_density), 5),
                  "occupied_frac": occupied_frac(impl),
                  "train_time_s": round(t_train, 1)}

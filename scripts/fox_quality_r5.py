@@ -1,0 +1,212 @@
+#!/usr/bin/env python3
+"""Fox quality evidence, round 5 (VERDICT r4 #1/#7/#9).
+
+Arms on the fox capture (all from configs/nerf/base.json):
+  default   trained to --steps (default 25600 — crosses the lr
+            schedule's decay_start=20000, exercising the
+            ExponentialDecay regime for the first time, r4 #9).
+  exact     stochastic_corners=False, to --ab-steps (estimator A/B).
+  no_errmap error-map importance sampling off, to --ab-steps.
+
+Evidence per arm:
+  - timeline at every milestone: paired ds4 + full-res spp-2 PSNR
+    (two views) + loss + occupancy telemetry (the decay diagnostics).
+  - full evals (run.py --test_transforms semantics: full-res, spp 8,
+    black bg, min transmittance 1e-4) over --eval-views (default: the
+    full 8-view protocol) at --ab-steps for every arm, and additionally
+    at {10240, --steps} for the default arm. NO cell may end "not run".
+
+Eval cost: rendered with the r5 eval-renderer settings recorded in the
+protocol header — stochastic-corner estimator + non-binding candidate
+cap when --fast-eval (validated by walkthrough_out/render_probe_r5.json
+before this script is run; the probe A/Bs both against the exact path
+on the trained snapshot).
+
+Writes walkthrough_out/fox_quality_r5.json; resumes per arm from
+walkthrough_out/fox_r5_<arm>_resume.ingp (--resume).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+EVAL_VIEWS = [0, 8, 16, 24, 32, 40, 48, 56]
+TIMELINE_VIEWS = (0, 30)
+MILESTONES = [256, 512, 1024, 2048, 4096, 6144, 8192, 10240, 14336,
+              20480, 23552, 25600]
+
+
+def load_json(path):
+    if os.path.isfile(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def save(report, args):
+    with open(os.path.join(args.out_dir, "fox_quality_r5.json"), "w") as f:
+        json.dump(report, f, indent=1)
+
+
+def occupied_frac(impl):
+    import numpy as np
+
+    from instant_ngp_tpu.common import NERF_GRID_N_CELLS
+
+    bits = np.asarray(impl.bitfield[:NERF_GRID_N_CELLS // 8])
+    return round(float(np.unpackbits(bits).mean()), 5)
+
+
+def write_view_png(impl, args):
+    import numpy as np
+
+    from instant_ngp_tpu.data.images import write_image
+
+    img = impl.render_training_view(0, spp=4, width=540, height=960)
+    png = os.path.join(args.out_dir, "fox_view0_r5.png")
+    write_image(png, np.clip(img[..., :3], 0, 1).astype(np.float32))
+    print("wrote", png, flush=True)
+
+
+def run_arm(arm: str, steps: int, report: dict, args) -> None:
+    import numpy as np
+
+    from instant_ngp_tpu.eval import eval_nerf_views
+    from instant_ngp_tpu.testbed import Testbed
+
+    snap = os.path.join(args.out_dir, f"fox_r5_{arm}_resume.ingp")
+    tb = Testbed()
+    tb.load_training_data(args.scene)
+    rec = report["arms"].setdefault(arm, {"timeline": [], "full_eval": {}})
+    full_points = sorted({args.ab_steps}
+                         | ({10240, steps} if arm == "default" else set()))
+    full_points = [p for p in full_points if p <= steps]
+    for ms in full_points:
+        rec["full_eval"].setdefault(
+            str(ms), {"status": "not run",
+                      "note": "pending; null until the eval completes"})
+    t_train = rec["timeline"][-1]["train_time_s"] if rec["timeline"] else 0.0
+    trained = rec["timeline"][-1]["step"] if rec["timeline"] else 0
+
+    if args.resume and trained > 0 and os.path.isfile(snap):
+        tb.load_snapshot(snap)
+        print(f"[{arm}] resumed at step {trained}", flush=True)
+    else:
+        tb.reload_network_from_file("base.json")
+        rec["timeline"] = []
+        for ms in full_points:
+            rec["full_eval"][str(ms)] = {
+                "status": "not run",
+                "note": "pending; null until the eval completes"}
+        t_train, trained = 0.0, 0
+    impl = tb.impl
+    impl.rays_per_batch = 1 << 11
+    impl.adapt_ray_batch = False
+    if args.fast_eval:
+        impl.render_stochastic_corners = True
+        impl.render_max_samples_per_ray = 1024
+    if arm == "exact":
+        impl.stochastic_corners = False
+    elif arm == "no_errmap":
+        impl.use_error_map_sampling = False
+
+    tb.train(1)   # compile warm-up outside the timed window
+    trained = max(trained, impl.training_step)
+
+    for ms in MILESTONES:
+        if ms > steps:
+            break
+        if ms > trained:
+            t0 = time.perf_counter()
+            tb.train(ms - trained)
+            t_train += time.perf_counter() - t0
+            trained = ms
+            psnrs = [impl.eval_psnr(v, spp=2, downscale=4)
+                     for v in TIMELINE_VIEWS]
+            psnrs_full = [impl.eval_psnr(v, spp=2, downscale=1)
+                          for v in TIMELINE_VIEWS]
+            entry = {"step": ms, "train_time_s": round(t_train, 2),
+                     "psnr_ds4_avg": round(float(np.mean(psnrs)), 3),
+                     "psnr_full_avg": round(float(np.mean(psnrs_full)), 3),
+                     "loss": round(tb.loss, 6),
+                     "mean_density": round(float(impl.mean_density), 5),
+                     "occupied_frac": occupied_frac(impl)}
+            rec["timeline"].append(entry)
+            print(f"[{arm}]", entry, flush=True)
+            tb.save_snapshot(snap)
+            save(report, args)
+        fe = rec["full_eval"].get(str(ms))
+        if ms in full_points and fe is not None \
+                and fe.get("status") == "not run":
+            if arm == "default":
+                write_view_png(impl, args)
+            print(f"[{arm}] full-res spp-8 eval at {ms}...", flush=True)
+            t0 = time.perf_counter()
+            ev = eval_nerf_views(impl, indices=args.eval_views, spp=8,
+                                 downscale=1)
+            ev["eval_wall_s"] = round(time.perf_counter() - t0, 1)
+            out = {k: (round(v, 4) if isinstance(v, float) else
+                       [round(x, 3) for x in v])
+                   for k, v in ev.items()}
+            out["status"] = "done"
+            out["views"] = args.eval_views
+            rec["full_eval"][str(ms)] = out
+            save(report, args)
+            print(f"[{arm}] full eval @{ms}:", out, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default=os.path.join(REPO,
+                                                      "walkthrough_out"))
+    ap.add_argument("--scene",
+                    default="/root/reference/data/nerf/fox/transforms.json")
+    ap.add_argument("--steps", type=int, default=25600)
+    ap.add_argument("--ab-steps", type=int, default=2048)
+    ap.add_argument("--arms", nargs="*",
+                    default=["default", "exact", "no_errmap"])
+    ap.add_argument("--eval-views", type=int, nargs="*", default=EVAL_VIEWS)
+    ap.add_argument("--fast-eval", action="store_true",
+                    help="stochastic render estimator + non-binding "
+                         "candidate cap (validate with render_probe_r5 "
+                         "first)")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    path = os.path.join(args.out_dir, "fox_quality_r5.json")
+    report = (load_json(path) if args.resume else None) or {
+        "scene": "fox (real capture, OpenCV lens, 67 views; no test "
+                 "split - train-view eval like reference run.py)",
+        "backend": jax.default_backend(),
+        "eval_protocol": {"views": args.eval_views, "spp": 8,
+                          "downscale": 1, "min_transmittance": 1e-4,
+                          "bg": "black",
+                          "fast_eval": bool(args.fast_eval),
+                          "note": "run.py --test_transforms semantics; "
+                                  "fast_eval = stochastic-corner render "
+                                  "estimator + cap 1024 (A/B'd in "
+                                  "render_probe_r5.json)"},
+        "timeline_protocol": {
+            "views": list(TIMELINE_VIEWS), "spp": 2,
+            "note": "paired ds4 + full-res spp-2 at every milestone, "
+                    "plus occupancy telemetry"},
+        "arms": {},
+    }
+    report["eval_protocol"]["views"] = args.eval_views
+    for arm in args.arms:
+        steps = args.steps if arm == "default" else args.ab_steps
+        run_arm(arm, steps, report, args)
+    save(report, args)
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -122,10 +122,36 @@ def main():
     report = {"backend": jax.default_backend(), "n": n,
               "entries": args.entries, "f": F, "regimes": {}}
 
+    # `mixed` mirrors the real train-step distribution: n deposits
+    # split evenly over 8 levels at the fox table's per-level sizes
+    # (dense coarse levels duplicate heavily; fine levels hash-spread),
+    # each level offset into its own table region like the interleaved
+    # layout. This is the regime the 57 M/s production ledger rate
+    # comes from — the r4 run priced only single-level extremes at
+    # dispatch-bound n=65k (VERDICT r4 weak #4).
+    level_sizes = [4096, 12167, 32768, 91125, 262144, 524288, 524288,
+                   524288]
+
+    def mixed_entries(key):
+        per = n // len(level_sizes)
+        parts, off = [], 0
+        for li, sz in enumerate(level_sizes):
+            parts.append(off + jax.random.randint(
+                jax.random.fold_in(key, 50 + li), (per,), 0, sz))
+            off += sz
+        e = jnp.concatenate(parts)
+        return jnp.pad(e, (0, n - e.shape[0]))
+
     for regime, n_entries in (("uniform", args.entries),
-                              ("coarse", 4096)):
-        entry = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0,
-                                   n_entries)
+                              ("coarse", 4096), ("mixed", None)):
+        if regime == "mixed":
+            entry = mixed_entries(key)
+            dom = sum(level_sizes)           # accumulator entry domain
+        else:
+            entry = jax.random.randint(jax.random.fold_in(key, 1), (n,),
+                                       0, n_entries)
+            dom = args.entries
+        dom_rows = dom * F // 128 + 1
         entry_sorted = jnp.sort(entry)
         cases = {}
 
@@ -134,26 +160,47 @@ def main():
             cases[name] = {"ms": round(t, 3),
                            "Mdep_per_s": round(n / t / 1e3, 1)}
 
-        run("row_deposit", row_deposit, entry, *gs)
-        run("row_deposit_sorted", row_deposit, entry_sorted, *gs)
-        run("flat4_deposit", flat4_deposit, entry, *gs)
+        def rd(entry, g0, g1, g2, g3):
+            return row_deposit(entry, g0, g1, g2, g3, n_rows=dom_rows)
+
+        def coalesced(entry, g0, g1, g2, g3):
+            # same as coalesced_deposit but against this regime's domain
+            e_s, s0, s1, s2, s3 = jax.lax.sort(
+                (entry, g0, g1, g2, g3), num_keys=1)
+            segs = [s0, s1, s2, s3]
+            shift = 1
+            while shift < n:
+                same = jnp.concatenate(
+                    [jnp.zeros(shift, bool), e_s[shift:] == e_s[:-shift]])
+                segs = [s + jnp.where(
+                    same, jnp.concatenate([jnp.zeros(shift, s.dtype),
+                                           s[:-shift]]), 0.0)
+                    for s in segs]
+                shift *= 2
+            is_end = jnp.concatenate(
+                [e_s[:-1] != e_s[1:], jnp.ones(1, bool)])
+            e_dep = jnp.where(is_end, e_s, jnp.int32(dom * 2))
+            return rd(e_dep, *[jnp.where(is_end, s, 0.0) for s in segs])
+
+        run("row_deposit", rd, entry, *gs)
+        run("row_deposit_sorted", rd, entry_sorted, *gs)
         for frac in (0.5, 0.9):
             cut = int(n * frac)
             e_oob = jnp.where(jnp.arange(n) < cut,
-                              jnp.int32(args.entries * 2), entry)
-            run(f"oob_drop_{int(frac*100)}", row_deposit, e_oob, *gs)
-        run("coalesced_deposit", coalesced_deposit, entry, *gs)
+                              jnp.int32(dom * 2), entry)
+            run(f"oob_drop_{int(frac*100)}", rd, e_oob, *gs)
+        run("coalesced_deposit", coalesced, entry, *gs)
         # correctness: coalesced == plain on the first feature
         import numpy as np
 
-        a = np.asarray(jax.jit(row_deposit)(entry, *gs))
-        b = np.asarray(jax.jit(coalesced_deposit)(entry, *gs))
+        a = np.asarray(jax.jit(rd)(entry, *gs))
+        b = np.asarray(jax.jit(coalesced)(entry, *gs))
         cases["coalesced_max_err"] = float(np.abs(a - b).max())
         report["regimes"][regime] = cases
         print(regime, json.dumps(cases, indent=1), flush=True)
 
     out = os.path.join(REPO, "walkthrough_out",
-                       "microbench_deposit_r4.json")
+                       "microbench_deposit_r5.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print("wrote", out)

@@ -145,6 +145,11 @@ def main():
     tb = NerfTestbed(ds, cfg)
     tb.rays_per_batch = 1 << 11
     tb.adapt_ray_batch = False
+    # unit-cube scene: rays cross up to ~1024 cone steps, so the eval
+    # renderer's default 512-candidate cap TRUNCATES the far half of
+    # the scene while the grid is still carving — an eval-side PSNR
+    # ceiling unrelated to the model (render_probe_r5 mechanism)
+    tb.render_max_samples_per_ray = tb.n_march
 
     def eval_avg():
         ps = [tb.eval_psnr(v, spp=2, downscale=1)
