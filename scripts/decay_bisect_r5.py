@@ -102,6 +102,12 @@ def run_arm(arm, scene, snap, report, path):
         # runs per step in the reference; the repo amortizes to one
         # mixed prep per 16 — a 16x slower carve)
         impl.prep_every = 1
+    elif arm == "extrinsics":
+        # camera refinement (the reference's own documented
+        # recommendation for real handheld captures): if the decay is
+        # edge error from sub-pixel camera misalignment that sharpening
+        # exposes, per-image pose refinement should recover it
+        impl.optimize_extrinsics = True
     elif arm == "loss_l2":
         # Huber saturates large per-pixel errors while PSNR is
         # MSE-dominated by them; L2 keeps full gradient pressure on
