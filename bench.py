@@ -68,22 +68,17 @@ def bench_nerf(queue):
     samples_per_s = n * tb.measured_batch_size / dt
     perf = tb.performance_stats()
 
-    # the reference's real-capture default (optimize_extrinsics on,
-    # nerf.h:103-107) must ride the same fast path: camera gradients
-    # accumulate inside the scanned block, host Adam on the 16-step
-    # boundary. VERDICT r3 weak #4 gate: within 20% of the headline.
-    # Guarded: a failure here must not cost the headline metric.
-    dt_cam = None
-    try:
-        tb.optimize_extrinsics = True
-        tb.train(16)       # compile the cam-scan block
-        t0 = time.perf_counter()
-        tb.train(32)
-        dt_cam = time.perf_counter() - t0
-    except Exception:
-        pass
-    finally:
-        tb.optimize_extrinsics = False
+    # extrinsics-on training (the reference's real-capture
+    # recommendation) must stay within 20% of the headline (r3 gate).
+    # Camera gradients are sampled once per cam_grad_interval (=16)
+    # and scaled — only that step pays the exact-encode rebuild, so
+    # the expected cost is ~(15 + 1*4)/16 = 1.19x a plain step.
+    tb.optimize_extrinsics = True
+    tb.train(16)       # compile the cam cond-scan block
+    t0 = time.perf_counter()
+    tb.train(32)
+    dt_cam = time.perf_counter() - t0
+    tb.optimize_extrinsics = False
 
     # the adaptive controller's next bucket from the measured batch —
     # proof the pinned 2^11 bucket IS the adaptive operating point.
